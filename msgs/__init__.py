@@ -1,0 +1,23 @@
+"""msgs — TPU-native multi-scale 3D Gaussian splatting framework.
+
+A from-scratch JAX/Pallas re-design of the capabilities of JokerYan/MS-GS
+("Multi-Scale 3D Gaussian Splatting for Anti-Aliased Rendering", CVPR 2024):
+tile-based differentiable rasterization, multi-scale pixel-size tracking,
+scale-aware splat filtering, large-Gaussian insertion, adaptive densification —
+built TPU-first (static shapes, functional state, Pallas kernels, pjit/shard_map
+over device meshes) rather than as a CUDA port.
+
+Layout (see SURVEY.md §7.1):
+  core/     pure camera / SH / transform math (pytrees, jnp)
+  kernels/  rasterizer: preprocess, binning, Pallas tile compositor fwd/bwd,
+            pure-jnp oracle, kNN init
+  model/    fixed-capacity functional GaussianState + densification
+  ms/       multi-scale schedule, pixel-size statistics, insert-large voxel pooling
+  train/    optimizer / train step / checkpointing
+  dist/     mesh construction + sharded render/train step
+  data/     COLMAP / Blender loaders, camera pyramid, PLY I/O
+  eval/     PSNR / SSIM / LPIPS metrics, reporting
+  apps/     CLI drivers (train, render, viewer, trajectory, metrics)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,220 @@
+"""Scene loading: COLMAP & Blender(NeRF-synthetic) readers, eval split,
+scene normalization, and the multi-resolution camera pyramid.
+
+Capability-parity with the reference scene/data layer (SURVEY.md §2.6):
+  - readColmapSceneInfo / readNerfSyntheticInfo (dataset_readers.py:135-280)
+  - nerf++-style normalization: radius = 1.1 × max camera-to-centroid
+    distance (dataset_readers.py:48-69) → `cameras_extent`
+  - eval split: every 8th camera (llffhold=8, dataset_readers.py:151-153)
+  - resize rule (camera_utils.py:22-39): -r ∈ {1,2,4,8} →
+    round(orig/(reso_scale·r)); -r=-1 → cap width at 1600 then ÷reso_scale
+  - multi-resolution pyramid: one camera list per resolution scale with
+    consistent cross-scale ordering (scene/__init__.py:87-94)
+
+Host-side numpy/PIL; images become jnp arrays lazily per render step rather
+than living resident on device per camera (the reference keeps every
+scale's GT on GPU — cameras.py:39 — which is hostile to HBM; we stage
+through host RAM and ship only the sampled view).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from msgs.core.camera import Camera, focal2fov, fov2focal, make_camera
+from msgs.data.colmap import load_sparse, qvec2rotmat
+
+
+@dataclass
+class ViewInfo:
+    """Host-side per-view record; `camera(scale)` and `image(scale)` realize
+    the pyramid lazily with caching."""
+    uid: int
+    R: np.ndarray            # (3,3) cam→world rotation
+    T: np.ndarray            # (3,) world→cam translation
+    fovx: float
+    fovy: float
+    image_path: str
+    image_name: str
+    width: int               # full-res (after -r) width
+    height: int
+    white_background: bool = False
+    _cache: dict = field(default_factory=dict)
+
+    def resolution(self, scale: float) -> Tuple[int, int]:
+        return (max(round(self.width / scale), 1),
+                max(round(self.height / scale), 1))
+
+    def camera(self, scale: float = 1.0) -> Camera:
+        key = ("cam", scale)
+        if key not in self._cache:
+            w, h = self.resolution(scale)
+            self._cache[key] = make_camera(self.R, self.T, self.fovx,
+                                           self.fovy, w, h)
+        return self._cache[key]
+
+    def image(self, scale: float = 1.0) -> np.ndarray:
+        """GT image at pyramid scale, (H, W, 3) float32 in [0,1]."""
+        key = ("img", scale)
+        if key not in self._cache:
+            from PIL import Image
+            img = Image.open(self.image_path)
+            w, h = self.resolution(scale)
+            img = img.resize((w, h))
+            arr = np.asarray(img).astype(np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[..., None].repeat(3, -1)
+            if arr.shape[-1] == 4:
+                rgb, a = arr[..., :3], arr[..., 3:]
+                bg = 1.0 if self.white_background else 0.0
+                arr = rgb * a + bg * (1 - a)
+            self._cache[key] = arr[..., :3]
+        return self._cache[key]
+
+    def drop_cache(self):
+        self._cache = {k: v for k, v in self._cache.items() if k[0] == "cam"}
+
+
+@dataclass
+class SceneData:
+    train_views: List[ViewInfo]
+    test_views: List[ViewInfo]
+    points: np.ndarray          # (N,3)
+    colors: np.ndarray          # (N,3) in [0,1]
+    cameras_extent: float
+    source_path: str
+
+
+def _nerf_norm_radius(views: List[ViewInfo]) -> float:
+    """nerf++ normalization (dataset_readers.py:48-69): 1.1 × max distance
+    from any camera center to the centroid of camera centers."""
+    centers = []
+    for v in views:
+        W2C = np.eye(4)
+        W2C[:3, :3] = v.R.T
+        W2C[:3, 3] = v.T
+        C2W = np.linalg.inv(W2C)
+        centers.append(C2W[:3, 3])
+    centers = np.stack(centers)
+    centroid = centers.mean(axis=0)
+    diag = np.linalg.norm(centers - centroid, axis=1).max()
+    return float(diag * 1.1)
+
+
+def _apply_r_flag(width: int, height: int, r: int) -> Tuple[int, int]:
+    """The reference -r downscale flag (camera_utils.py:22-39) applied once
+    at load: explicit factor, or -1 → cap width at 1600."""
+    if r in (1, 2, 4, 8):
+        return round(width / r), round(height / r)
+    if r == -1:
+        if width > 1600:
+            gd = width / 1600
+            return round(width / gd), round(height / gd)
+        return width, height
+    return round(width / r), round(height / r)
+
+
+def load_colmap_scene(source_path: str, images_dir: str = "images",
+                      eval_split: bool = False, llffhold: int = 8,
+                      resolution: int = -1,
+                      white_background: bool = False) -> SceneData:
+    sparse = os.path.join(source_path, "sparse", "0")
+    if not os.path.isdir(sparse):
+        sparse = os.path.join(source_path, "sparse")
+    cams, imgs, xyz, rgb = load_sparse(sparse)
+
+    views = []
+    for iid in sorted(imgs, key=lambda i: imgs[i].name):
+        im = imgs[iid]
+        cam = cams[im.camera_id]
+        R = qvec2rotmat(im.qvec).T       # store cam→world (reference convention)
+        T = im.tvec
+        if cam.model == "SIMPLE_PINHOLE":
+            fx = fy = cam.params[0]
+        elif cam.model == "PINHOLE":
+            fx, fy = cam.params[0], cam.params[1]
+        else:
+            raise ValueError(
+                f"unsupported COLMAP camera model {cam.model}; undistort "
+                f"with `convert` first (reference supports PINHOLE only)")
+        fovx = focal2fov(fx, cam.width)
+        fovy = focal2fov(fy, cam.height)
+        w, h = _apply_r_flag(cam.width, cam.height, resolution)
+        views.append(ViewInfo(
+            uid=len(views), R=R, T=T, fovx=fovx, fovy=fovy,
+            image_path=os.path.join(source_path, images_dir, im.name),
+            image_name=os.path.splitext(im.name)[0], width=w, height=h,
+            white_background=white_background))
+
+    if eval_split:
+        train = [v for i, v in enumerate(views) if i % llffhold != 0]
+        test = [v for i, v in enumerate(views) if i % llffhold == 0]
+    else:
+        train, test = views, []
+    extent = _nerf_norm_radius(train)
+    return SceneData(train, test, xyz.astype(np.float32),
+                     rgb.astype(np.float32) / 255.0, extent, source_path)
+
+
+def load_blender_scene(source_path: str, white_background: bool = False,
+                       eval_split: bool = True,
+                       resolution: int = -1) -> SceneData:
+    """NeRF-synthetic transforms_{train,test}.json
+    (dataset_readers.py:182-280): OpenGL→COLMAP axis flip, random 100k-point
+    init inside [-1.3, 1.3]³."""
+    def read_split(name) -> List[ViewInfo]:
+        path = os.path.join(source_path, f"transforms_{name}.json")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            meta = json.load(f)
+        fovx = meta["camera_angle_x"]
+        out = []
+        for fr in meta["frames"]:
+            c2w = np.array(fr["transform_matrix"])
+            c2w[:3, 1:3] *= -1           # OpenGL → COLMAP camera axes
+            w2c = np.linalg.inv(c2w)
+            R = w2c[:3, :3].T
+            T = w2c[:3, 3]
+            img_path = os.path.join(source_path, fr["file_path"] + ".png")
+            if not os.path.exists(img_path):
+                img_path = os.path.join(source_path, fr["file_path"])
+            from PIL import Image
+            with Image.open(img_path) as im:
+                width, height = im.size
+            w, h = _apply_r_flag(width, height, resolution)
+            fovy = focal2fov(fov2focal(fovx, width), height)
+            out.append(ViewInfo(
+                uid=len(out), R=R, T=T, fovx=fovx, fovy=fovy,
+                image_path=img_path,
+                image_name=os.path.splitext(os.path.basename(img_path))[0],
+                width=w, height=h, white_background=white_background))
+        return out
+
+    train = read_split("train")
+    test = read_split("test") if eval_split else []
+    rng = np.random.default_rng(0)
+    n_pts = 100_000
+    pts = (rng.random((n_pts, 3)).astype(np.float32) * 2.6 - 1.3)
+    cols = rng.random((n_pts, 3)).astype(np.float32)
+    extent = _nerf_norm_radius(train)
+    return SceneData(train, test, pts, cols, extent, source_path)
+
+
+def load_scene(source_path: str, **kw) -> SceneData:
+    """Auto-detect COLMAP (sparse/) vs Blender (transforms_train.json) —
+    scene/__init__.py:44-51."""
+    if os.path.exists(os.path.join(source_path, "sparse")):
+        kw.pop("blender_eval", None)
+        return load_colmap_scene(source_path, **kw)
+    if os.path.exists(os.path.join(source_path, "transforms_train.json")):
+        kw.pop("images_dir", None)
+        kw.pop("llffhold", None)
+        kw["eval_split"] = kw.pop("eval_split", True) or True
+        return load_blender_scene(source_path, **kw)
+    raise ValueError(f"unrecognized scene layout at {source_path}")

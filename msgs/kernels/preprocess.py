@@ -1,0 +1,222 @@
+"""Per-Gaussian preprocessing: projection, EWA 2D covariance, SH color,
+multi-scale splat selection.
+
+Pure vectorized jnp — XLA fuses the whole thing into a handful of kernels and
+autodiff gives the backward for free. Functionally equivalent to the
+`preprocess` stage of the reference CUDA rasterizer (reconstructed in
+SURVEY.md §2.3: frustum cull, perspective projection, EWA Jacobian, +0.3 px
+low-pass, conic/radius, 16×16 tile counting, SH eval), extended with the MS-GS
+scale-aware selection (filter_small / filter_large / fade, SURVEY.md §2.3)
+expressed as a smooth opacity weight so it is differentiable where faded.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from msgs.core.camera import Camera
+from msgs.core.sh import eval_sh
+from msgs.core.transforms import build_covariance_3d, sym6_to_cov3d
+
+TILE = 16
+NEAR_CULL = 0.2           # view-space z culling threshold (reference CUDA: 0.2)
+LOWPASS = 0.3             # screen-space dilation added to cov2d diagonal
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+N_APP_LEVELS = 4          # occ_multiplier / dc_delta level buckets (scales 2/4/8/16)
+
+
+class PreprocessOut(NamedTuple):
+    means2d: jnp.ndarray      # (N, 2) pixel coords
+    depths: jnp.ndarray       # (N,)  view-space z
+    conics: jnp.ndarray       # (N, 3) inverse 2D covariance (xx, xy, yy)
+    colors: jnp.ndarray       # (N, 3) RGB after SH + clamp
+    opacities: jnp.ndarray    # (N,)  effective opacity (after MS weights)
+    radii: jnp.ndarray        # (N,)  int32 screen radius, 0 if culled
+    pixel_sizes: jnp.ndarray  # (N,)  current footprint in pixels (2σ diameter)
+    rect_min: jnp.ndarray     # (N, 2) int32 inclusive tile bounds (x, y)
+    rect_max: jnp.ndarray     # (N, 2) int32 exclusive tile bounds (x, y)
+    visible: jnp.ndarray      # (N,)  bool — survives culling + MS selection
+
+
+def _ewa_project(cov3d, means3d, world_view_t, tanfovx, tanfovy, focal_x, focal_y):
+    """EWA splatting: project 3D covariance to screen-space 2D covariance.
+
+    world_view_t is the transposed world→view matrix (row-vector convention),
+    so the view rotation is world_view_t[:3, :3].T.
+    """
+    W = world_view_t[:3, :3].T                      # (3,3) view rotation
+    t = means3d @ world_view_t[:3, :3] + world_view_t[3, :3]  # view-space pos
+
+    # Clamp the view ray to the frustum edge before building the Jacobian
+    # (mirrors the reference kernel's 1.3·tanfov clamp).
+    tz = t[:, 2]
+    lim_x = 1.3 * tanfovx
+    lim_y = 1.3 * tanfovy
+    txz = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
+    tyz = jnp.clip(t[:, 1] / tz, -lim_y, lim_y) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J rows: [fx/z, 0, -fx·x/z²], [0, fy/z, -fy·y/z²]
+    j00 = focal_x * inv_z
+    j02 = -focal_x * txz * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * tyz * inv_z2
+
+    # M = J @ W : (N, 2, 3)
+    m0 = j00[:, None] * W[0] + j02[:, None] * W[2]
+    m1 = j11[:, None] * W[1] + j12[:, None] * W[2]
+    M = jnp.stack([m0, m1], axis=1)
+
+    cov2d = M @ cov3d @ jnp.swapaxes(M, 1, 2)       # (N, 2, 2)
+    cxx = cov2d[:, 0, 0] + LOWPASS
+    cxy = cov2d[:, 0, 1]
+    cyy = cov2d[:, 1, 1] + LOWPASS
+    return cxx, cxy, cyy, t
+
+
+def _fade01(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def preprocess(
+    camera: Camera,
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    *,
+    shs: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    scales: Optional[jnp.ndarray] = None,
+    quats: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    active_sh_degree=3,
+    scale_modifier: float = 1.0,
+    live_mask: Optional[jnp.ndarray] = None,
+    means2d_probe: Optional[jnp.ndarray] = None,
+    # --- MS-GS extensions ---
+    filter_small: bool = False,
+    filter_large: bool = False,
+    fade_size: float = 0.0,
+    max_pixel_sizes: Optional[jnp.ndarray] = None,
+    min_pixel_sizes: Optional[jnp.ndarray] = None,
+    base_mask: Optional[jnp.ndarray] = None,
+    occ_multiplier: Optional[jnp.ndarray] = None,   # (N, 4) in (0,1]
+    dc_delta: Optional[jnp.ndarray] = None,          # (N, 4, 3)
+    reso_lvl: int = 0,
+) -> PreprocessOut:
+    """Project Gaussians to screen and build compositor inputs.
+
+    Mirrors the contract of the reference rasterizer's per-Gaussian stage
+    (gaussian_renderer/__init__.py:37-108 call signature); the MS selection
+    semantics are the SURVEY.md §2.3 reconstruction:
+
+    - `pixel_size` p = 2·sqrt(λ_max(cov2d)) — current screen footprint.
+    - filter_small: a Gaussian known to be well-resolved at a finer scale
+      (recorded max_pixel_sizes ≥ 1) is faded out when its current footprint
+      p drops sub-pixel; `fade_size` widens the hard cutoff into a linear ramp.
+    - filter_large: a Gaussian whose recorded min footprint is min_rec fades
+      out once p exceeds 2·max(min_rec, 1) — coarse aggregates retire at finer
+      resolutions; `base_mask=True` rows are exempt (preserve_large).
+    - occ_multiplier / dc_delta: per-level appearance deltas selected by the
+      render's level bucket (4 buckets for scales 2/4/8/16).
+    """
+    N = means3d.shape[0]
+    H, W_img = camera.height, camera.width
+
+    if cov3d_precomp is not None:
+        cov3d = sym6_to_cov3d(cov3d_precomp)
+    else:
+        cov3d = build_covariance_3d(scales, quats, scale_modifier)
+
+    # Projection (row-vector convention: p_row @ M_T).
+    hom = jnp.concatenate([means3d, jnp.ones((N, 1), means3d.dtype)], axis=1)
+    p_hom = hom @ camera.full_proj
+    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    ndc = p_hom[:, :3] * p_w[:, None]
+    if means2d_probe is not None:
+        # Densification gradient probe: zeros added in NDC so its gradient is
+        # the reference-convention screen-space gradient (train.py:249-250).
+        ndc = ndc.at[:, :2].add(means2d_probe)
+    mean_px = jnp.stack(
+        [((ndc[:, 0] + 1.0) * W_img - 1.0) * 0.5,
+         ((ndc[:, 1] + 1.0) * H - 1.0) * 0.5], axis=1)
+
+    focal_x = W_img / (2.0 * camera.tanfovx)
+    focal_y = H / (2.0 * camera.tanfovy)
+    cxx, cxy, cyy, t_view = _ewa_project(
+        cov3d, means3d, camera.world_view, camera.tanfovx, camera.tanfovy,
+        focal_x, focal_y)
+    depths = t_view[:, 2]
+
+    det = cxx * cyy - cxy * cxy
+    det_safe = jnp.where(det > 0, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conics = jnp.stack([cyy * inv_det, -cxy * inv_det, cxx * inv_det], axis=1)
+
+    mid = 0.5 * (cxx + cyy)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
+    lam_max = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
+    pixel_size = 2.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0))
+
+    # Tile rectangle (reference getRect semantics, 16×16 tiles).
+    tiles_x = (W_img + TILE - 1) // TILE
+    tiles_y = (H + TILE - 1) // TILE
+    rmin_x = jnp.clip(jnp.floor((mean_px[:, 0] - radius) / TILE), 0, tiles_x).astype(jnp.int32)
+    rmin_y = jnp.clip(jnp.floor((mean_px[:, 1] - radius) / TILE), 0, tiles_y).astype(jnp.int32)
+    rmax_x = jnp.clip(jnp.floor((mean_px[:, 0] + radius + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
+    rmax_y = jnp.clip(jnp.floor((mean_px[:, 1] + radius + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
+    n_touched = jnp.maximum(rmax_x - rmin_x, 0) * jnp.maximum(rmax_y - rmin_y, 0)
+
+    visible = (depths > NEAR_CULL) & (det > 0) & (n_touched > 0)
+    if live_mask is not None:
+        visible = visible & live_mask
+
+    # Color.
+    if colors_precomp is not None:
+        colors = colors_precomp
+    else:
+        sh = shs
+        if dc_delta is not None and reso_lvl >= 1:
+            bucket = min(max(int(reso_lvl) - 1, 0), N_APP_LEVELS - 1)
+            sh = sh.at[:, 0, :].add(dc_delta[:, bucket, :])
+        dirs = means3d - camera.cam_center[None, :]
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=1, keepdims=True) + 1e-9)
+        colors = jnp.maximum(eval_sh(sh, dirs, active_sh_degree) + 0.5, 0.0)
+
+    # Effective opacity: MS selection weights fold in multiplicatively.
+    op = opacities
+    if occ_multiplier is not None and reso_lvl >= 1:
+        bucket = min(max(int(reso_lvl) - 1, 0), N_APP_LEVELS - 1)
+        op = op * occ_multiplier[:, bucket]
+
+    fade = jnp.maximum(fade_size, 1e-6)
+    if filter_small and max_pixel_sizes is not None:
+        applies = max_pixel_sizes >= 1.0
+        w_small = jnp.where(applies, _fade01((pixel_size - 1.0 + fade_size) / fade), 1.0)
+        op = op * w_small
+        visible = visible & (w_small > 0)
+    if filter_large and min_pixel_sizes is not None:
+        exempt = base_mask if base_mask is not None else jnp.zeros((N,), bool)
+        applies = (~exempt) & (min_pixel_sizes >= 0.0)
+        thresh = 2.0 * jnp.maximum(min_pixel_sizes, 1.0)
+        w_large = jnp.where(applies, _fade01((thresh - pixel_size + fade_size) / fade), 1.0)
+        op = op * w_large
+        visible = visible & (w_large > 0)
+
+    radii = jnp.where(visible, radius, 0.0).astype(jnp.int32)
+    return PreprocessOut(
+        means2d=mean_px,
+        depths=depths,
+        conics=conics,
+        colors=colors,
+        opacities=op,
+        radii=radii,
+        pixel_sizes=jnp.where(visible, pixel_size, 0.0),
+        rect_min=jnp.stack([rmin_x, rmin_y], axis=1),
+        rect_max=jnp.stack([rmax_x, rmax_y], axis=1),
+        visible=visible,
+    )

@@ -1,0 +1,164 @@
+"""Top-level differentiable rasterizer: preprocess → bin → composite → unpack.
+
+The public contract mirrors the reference `GaussianRasterizer.__call__`
+(gaussian_renderer/__init__.py:37-108 — SURVEY.md §2.3): same inputs
+(means3D, SHs or precomputed colors, opacities, scales/rotations or
+cov3D_precomp, MS pixel-size stats, occ_multiplier, dc_delta, base_mask) and
+same outputs (rendered image, acc_pixel_size, depth, radii, pixel_sizes),
+plus a transmittance map. Differences by design: images are channels-last
+(H, W, 3); screen-space densification gradients surface through an explicit
+`means2d_probe` argument instead of a retain_grad dummy tensor; the render
+level is passed explicitly for the per-level appearance buckets.
+
+Differentiability: preprocess is plain jnp (XLA autodiff), binning indices are
+integer/stop-grad, the entry gather is autodiffed by XLA (its VJP performs the
+per-Gaussian scatter-add of entry gradients), and the compositor is a Pallas
+custom_vjp pair.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from msgs.kernels import composite as comp
+from msgs.kernels.binning import BLOCK, bin_gaussians
+from msgs.kernels.preprocess import TILE, preprocess
+
+
+class RasterSettings(NamedTuple):
+    """Static rasterizer configuration (hashable; safe as a jit static arg)."""
+    filter_small: bool = False
+    filter_large: bool = False
+    entry_cap: int = 1 << 20
+    backend: str = "auto"          # "pallas" | "reference" | "auto"
+
+
+class RenderOutput(NamedTuple):
+    image: jnp.ndarray          # (H, W, 3)
+    depth: jnp.ndarray          # (H, W) alpha-weighted depth
+    acc_pixel_size: jnp.ndarray # (H, W) alpha-weighted splat footprint
+    transmittance: jnp.ndarray  # (H, W) final T (1 - alpha coverage)
+    radii: jnp.ndarray          # (N,) int32 screen radius, 0 if culled
+    pixel_sizes: jnp.ndarray    # (N,) current footprint; >0 iff contributing
+    visible: jnp.ndarray        # (N,) bool = radii > 0
+    num_entries: jnp.ndarray    # () int32 duplicated entries
+    overflow: jnp.ndarray       # () int32 entries dropped (grow entry_cap!)
+
+
+def _resolve_backend(backend: str) -> str:
+    if backend != "auto":
+        return backend
+    return "pallas"
+
+
+def rasterize(
+    camera,
+    means3d: jnp.ndarray,
+    opacities: jnp.ndarray,
+    *,
+    shs: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    scales: Optional[jnp.ndarray] = None,
+    quats: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    active_sh_degree=3,
+    scale_modifier: float = 1.0,
+    bg: Optional[jnp.ndarray] = None,
+    live_mask: Optional[jnp.ndarray] = None,
+    means2d_probe: Optional[jnp.ndarray] = None,
+    fade_size: float = 0.0,
+    max_pixel_sizes: Optional[jnp.ndarray] = None,
+    min_pixel_sizes: Optional[jnp.ndarray] = None,
+    base_mask: Optional[jnp.ndarray] = None,
+    occ_multiplier: Optional[jnp.ndarray] = None,
+    dc_delta: Optional[jnp.ndarray] = None,
+    reso_lvl: int = 0,
+    settings: RasterSettings = RasterSettings(),
+) -> RenderOutput:
+    H, W = camera.height, camera.width
+    tiles_x = (W + TILE - 1) // TILE
+    tiles_y = (H + TILE - 1) // TILE
+    tiles = tiles_x * tiles_y
+    N = means3d.shape[0]
+
+    pre = preprocess(
+        camera, means3d, opacities,
+        shs=shs, colors_precomp=colors_precomp,
+        scales=scales, quats=quats, cov3d_precomp=cov3d_precomp,
+        active_sh_degree=active_sh_degree, scale_modifier=scale_modifier,
+        live_mask=live_mask, means2d_probe=means2d_probe,
+        filter_small=settings.filter_small, filter_large=settings.filter_large,
+        fade_size=fade_size, max_pixel_sizes=max_pixel_sizes,
+        min_pixel_sizes=min_pixel_sizes, base_mask=base_mask,
+        occ_multiplier=occ_multiplier, dc_delta=dc_delta, reso_lvl=reso_lvl)
+
+    binned = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, pre),
+        W, H, settings.entry_cap)
+
+    # Per-Gaussian feature rows (differentiable), gathered per entry.
+    feats = jnp.zeros((N, comp.NFEAT), jnp.float32)
+    feats = feats.at[:, comp.F_MX].set(pre.means2d[:, 0])
+    feats = feats.at[:, comp.F_MY].set(pre.means2d[:, 1])
+    feats = feats.at[:, comp.F_CXX].set(pre.conics[:, 0])
+    feats = feats.at[:, comp.F_CXY].set(pre.conics[:, 1])
+    feats = feats.at[:, comp.F_CYY].set(pre.conics[:, 2])
+    feats = feats.at[:, comp.F_R:comp.F_B + 1].set(pre.colors)
+    feats = feats.at[:, comp.F_OP].set(pre.opacities)
+    feats = feats.at[:, comp.F_DEPTH].set(pre.depths)
+    feats = feats.at[:, comp.F_PSIZE].set(pre.pixel_sizes)
+
+    ids = binned.gauss_id
+    valid = ids >= 0
+    idc = jnp.maximum(ids, 0)
+    entry_feat = jnp.where(valid[:, None], feats[idc], 0.0)
+    entry_feat = entry_feat.at[:, comp.F_VALID].set(valid.astype(jnp.float32))
+    payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT).transpose(0, 2, 1)
+
+    backend = _resolve_backend(settings.backend)
+    if backend == "pallas":
+        tiles_out, contrib = comp.composite(
+            payload, binned.block_tile, binned.block_valid, tiles, tiles_x,
+            W, H)
+    else:
+        tiles_out, contrib = comp.composite_reference(
+            payload, binned.block_tile, binned.block_valid, tiles, tiles_x,
+            W, H)
+
+    # Mask tiles that never received a block (their buffers are undefined for
+    # the Pallas backend), then unpack (T, 256, C) → (H, W, C).
+    empty_init = jnp.zeros((comp.NOUT,), jnp.float32).at[comp.O_T].set(1.0)
+    tiles_out = jnp.where(
+        binned.tile_nonempty[:, None, None], tiles_out, empty_init)
+    full = tiles_out.reshape(tiles_y, tiles_x, TILE, TILE, comp.NOUT)
+    full = full.transpose(0, 2, 1, 3, 4).reshape(
+        tiles_y * TILE, tiles_x * TILE, comp.NOUT)[:H, :W]
+
+    color = full[..., comp.O_R:comp.O_B + 1]
+    t_final = full[..., comp.O_T]
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    image = color + t_final[..., None] * bg
+
+    # Per-Gaussian contribution mask from per-entry max blend weights.
+    contrib_flat = jax.lax.stop_gradient(contrib).reshape(-1)
+    seg_ids = jnp.where(valid, idc, N)
+    max_w = jax.ops.segment_max(
+        contrib_flat, seg_ids, num_segments=N + 1)[:N]
+    contributed = max_w > 0.0
+    pixel_sizes = jnp.where(contributed, pre.pixel_sizes, 0.0)
+
+    return RenderOutput(
+        image=image,
+        depth=full[..., comp.O_DEPTH],
+        acc_pixel_size=full[..., comp.O_ACC],
+        transmittance=t_final,
+        radii=pre.radii,
+        pixel_sizes=pixel_sizes,
+        visible=pre.radii > 0,
+        num_entries=binned.num_entries,
+        overflow=binned.overflow,
+    )

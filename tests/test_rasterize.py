@@ -1,0 +1,119 @@
+"""Rasterizer correctness: production pipeline vs independent brute-force
+oracle, and Pallas kernels vs the jnp reference compositor (values + grads).
+This is BASELINE.md config 1 (CPU-runnable parity gate)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msgs.core.camera import make_camera
+from msgs.kernels.preprocess import preprocess
+from msgs.kernels.rasterize import RasterSettings, rasterize
+from tests.helpers import brute_force_render, identity_camera, make_scene
+
+W = H = 64
+N = 200
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return make_scene(n=N, seed=1, sh_degree=0)
+
+
+@pytest.fixture(scope="module")
+def camera():
+    return identity_camera(W, H)
+
+
+def _render(camera, scene, backend, **kw):
+    means, scales, quats, opac, shs = scene
+    settings = RasterSettings(backend=backend, entry_cap=1 << 15,
+                              **{k: kw.pop(k) for k in list(kw)
+                                 if k in ("filter_small", "filter_large")})
+    return rasterize(
+        camera, jnp.asarray(means), jnp.asarray(opac),
+        shs=jnp.asarray(shs), scales=jnp.asarray(scales),
+        quats=jnp.asarray(quats), active_sh_degree=0,
+        bg=jnp.array([0.2, 0.3, 0.4]), settings=settings, **kw)
+
+
+def test_reference_vs_bruteforce(camera, scene):
+    means, scales, quats, opac, shs = scene
+    out = _render(camera, scene, "reference")
+    assert int(out.overflow) == 0
+
+    pre = preprocess(camera, jnp.asarray(means), jnp.asarray(opac),
+                     shs=jnp.asarray(shs), scales=jnp.asarray(scales),
+                     quats=jnp.asarray(quats), active_sh_degree=0)
+    img, dep, T = brute_force_render(
+        camera, np.asarray(pre.means2d), np.asarray(pre.conics),
+        np.asarray(pre.colors), np.asarray(pre.opacities),
+        np.asarray(pre.depths), np.asarray(pre.radii),
+        np.asarray(pre.visible), [0.2, 0.3, 0.4], W, H)
+
+    np.testing.assert_allclose(np.asarray(out.image), img, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), dep, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.transmittance), T, atol=2e-5)
+
+
+def test_pallas_matches_reference(camera, scene):
+    ref = _render(camera, scene, "reference")
+    pal = _render(camera, scene, "pallas")
+    np.testing.assert_allclose(np.asarray(pal.image), np.asarray(ref.image),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pal.depth), np.asarray(ref.depth),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pal.pixel_sizes),
+                               np.asarray(ref.pixel_sizes), atol=1e-5)
+
+
+@pytest.mark.parametrize("backend", ["reference", "pallas"])
+def test_gradients_match(camera, scene, backend):
+    """Gradients through the full rasterizer: pallas custom_vjp must match
+    the autodiff of the jnp oracle."""
+    means, scales, quats, opac, shs = scene
+    target = jnp.zeros((H, W, 3))
+
+    def loss_fn(means3d, scales_, quats_, opac_, shs_, probe):
+        settings = RasterSettings(backend=backend, entry_cap=1 << 15)
+        out = rasterize(
+            camera, means3d, opac_, shs=shs_, scales=scales_, quats=quats_,
+            active_sh_degree=0, bg=jnp.array([0.2, 0.3, 0.4]),
+            means2d_probe=probe, settings=settings)
+        return jnp.mean((out.image - target) ** 2)
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs), jnp.zeros((N, 2)))
+    grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    for g in grads:
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_grads_cross_backend(camera, scene):
+    means, scales, quats, opac, shs = scene
+    target = jnp.zeros((H, W, 3))
+
+    def make_loss(backend):
+        def loss_fn(means3d, scales_, quats_, opac_, shs_, probe):
+            settings = RasterSettings(backend=backend, entry_cap=1 << 15)
+            out = rasterize(
+                camera, means3d, opac_, shs=shs_, scales=scales_,
+                quats=quats_, active_sh_degree=0,
+                bg=jnp.array([0.2, 0.3, 0.4]), means2d_probe=probe,
+                settings=settings)
+            return (jnp.mean((out.image - target) ** 2)
+                    + 0.1 * jnp.mean(out.depth) + 0.1 * jnp.mean(out.acc_pixel_size)
+                    + 0.01 * jnp.mean(out.transmittance))
+        return loss_fn
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs), jnp.zeros((N, 2)))
+    g_ref = jax.grad(make_loss("reference"), argnums=tuple(range(6)))(*args)
+    g_pal = jax.grad(make_loss("pallas"), argnums=tuple(range(6)))(*args)
+    names = ["means", "scales", "quats", "opac", "shs", "probe"]
+    for name, a, b in zip(names, g_ref, g_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=1e-5 * scale + 1e-9,
+                                   err_msg=f"grad mismatch: {name}")
+        assert np.abs(a).max() > 0, f"zero gradient for {name}"
