@@ -1,0 +1,84 @@
+"""Benchmark: rasterize fwd+bwd throughput at 1080p on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is pixels/s through a full differentiable render step (forward +
+backward through the Pallas compositor and preprocess) at 1920x1080 on a
+synthetic scene sized like a mid-training Mip-NeRF-360 run (100k visible
+Gaussians, ~1-2M splat entries). `vs_baseline` is measured against an A100
+running the reference CUDA diff-gaussian-rasterization at the same workload,
+estimated at ~15 ms fwd+bwd for 1080p (~138 M pixels/s) — the reference repo
+publishes no numbers (BASELINE.md), so this is the documented stand-in until
+a measured CUDA baseline lands.
+"""
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_PIX_S = 138e6   # ~15 ms fwd+bwd @ 1080p (documented estimate)
+
+W, H = 1920, 1080
+N = 100_000
+ENTRY_CAP = 1 << 21
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from msgs.core.camera import make_camera
+    from msgs.kernels.rasterize import RasterSettings, rasterize
+
+    rng = np.random.default_rng(0)
+    # Scene tuned to a realistic splat load: ~10-20 entries/Gaussian.
+    means = np.concatenate([
+        rng.uniform(-3.0, 3.0, (N, 2)),
+        rng.uniform(2.0, 12.0, (N, 1))], axis=1).astype(np.float32)
+    scales = np.exp(rng.uniform(-4.5, -2.5, (N, 3))).astype(np.float32)
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
+    cols = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+    cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.8, W, H)
+    settings = RasterSettings(backend="pallas", entry_cap=ENTRY_CAP)
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(cols))
+
+    @jax.jit
+    def fwd_bwd(m, s, q, o, c):
+        def loss(m, s, q, o, c):
+            out = rasterize(cam, m, o, colors_precomp=c, scales=s, quats=q,
+                            settings=settings)
+            return jnp.mean(out.image ** 2), out.num_entries
+        (l, ne), grads = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True)(m, s, q, o, c)
+        return l, ne, grads
+
+    # Warm up / compile.
+    l, ne, g = jax.block_until_ready(fwd_bwd(*args))
+    n_entries = int(ne)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        l, ne, g = fwd_bwd(*args)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    pix_s = W * H / dt
+    print(json.dumps({
+        "metric": "rasterize_fwd_bwd_1080p",
+        "value": round(pix_s, 1),
+        "unit": "pixels/s/chip",
+        "vs_baseline": round(pix_s / A100_BASELINE_PIX_S, 3),
+        "detail": {
+            "ms_per_iter": round(dt * 1000, 2),
+            "n_gaussians": N,
+            "n_entries": n_entries,
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,364 @@
+"""Training CLI — the L5/L6 driver (reference train.py:39-596 re-architected
+around jitted steps and a host-side schedule).
+
+Usage:
+  python -m msgs.apps.train -s <scene> -m <out> [--ms_train --filter_small
+      --insert_large --ms_train_max_scale 7 ...]
+
+Structure per iteration (SURVEY.md §2.5):
+  level/viewpoint sampling (75% finest, stack-per-epoch) → jitted
+  train_step (render, loss, Adam, pixel-size/densify stats) → cadenced
+  structural ops (densify_and_prune @lvl0 per interval, grow_large at coarse
+  levels, opacity reset every 3k with post-reset stat blackout, insert-large
+  episodes at the unlock schedule) → periodic eval/report and PLY/state
+  saves. Capacity and entry_cap grow host-side (re-jit) on demand.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    from msgs.apps.config import ModelParams, PipelineParams, add_group, \
+        add_optim_group
+    p = argparse.ArgumentParser("msgs train")
+    add_group(p, ModelParams, "Model")
+    add_group(p, PipelineParams, "Pipeline")
+    add_optim_group(p)
+    p.add_argument("-s", dest="source_path_short", type=str, default=None)
+    p.add_argument("-m", dest="model_path_short", type=str, default=None)
+    p.add_argument("-r", dest="resolution_short", type=int, default=None)
+    p.add_argument("--ms_train", action="store_true")
+    p.add_argument("--ms_train_max_scale", type=int, default=7)
+    p.add_argument("--filter_small", action="store_true")
+    p.add_argument("--prune_small", action="store_true")
+    p.add_argument("--preserve_large", action="store_true")
+    p.add_argument("--multi_occ", action="store_true")
+    p.add_argument("--multi_dc", action="store_true")
+    p.add_argument("--grow_large", action="store_true")
+    p.add_argument("--insert_large", action="store_true")
+    p.add_argument("--fade_size", type=float, default=0.0)
+    p.add_argument("--test_iterations", nargs="+", type=int,
+                   default=[7000, 30000])
+    p.add_argument("--test_interval", type=int, default=5000)
+    p.add_argument("--save_iterations", nargs="+", type=int,
+                   default=[7000, 30000])
+    p.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    p.add_argument("--start_checkpoint", type=str, default=None)
+    p.add_argument("--capacity", type=int, default=0,
+                   help="Gaussian capacity; 0 = auto (grows on demand)")
+    p.add_argument("--entry_cap", type=int, default=1 << 20)
+    p.add_argument("--backend", type=str, default="pallas")
+    p.add_argument("--quiet", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 1).bit_length()
+
+
+def training(args):
+    import jax
+    import jax.numpy as jnp
+
+    from msgs.apps.config import extract_optim, save_cfg
+    from msgs.data.dataset import load_scene
+    from msgs.eval.metrics import psnr
+    from msgs.kernels.rasterize import RasterSettings
+    from msgs.model.gaussians import (GaussianConfig, create_from_points,
+                                      one_up_sh_degree)
+    from msgs.ms.schedule import MsSchedule, loss_weight
+    from msgs.train import loop as L
+    from msgs.train.checkpoint import (load_train_state, save_ply_snapshot,
+                                       save_train_state)
+
+    if args.source_path_short:
+        args.source_path = args.source_path_short
+    if args.model_path_short:
+        args.model_path = args.model_path_short
+    if args.resolution_short is not None:
+        args.resolution = args.resolution_short
+    op = extract_optim(args)
+    random.seed(args.seed)
+    np.random.seed(args.seed)
+
+    os.makedirs(args.model_path, exist_ok=True)
+    save_cfg(args.model_path, args)
+    log_path = os.path.join(args.model_path, "train_log.jsonl")
+    log_f = open(log_path, "a")
+
+    print(f"Loading scene {args.source_path}")
+    scene = load_scene(args.source_path, images_dir=args.images,
+                       eval_split=args.eval, resolution=args.resolution,
+                       white_background=args.white_background)
+    extent = scene.cameras_extent
+    print(f"  {len(scene.train_views)} train / {len(scene.test_views)} test "
+          f"views, {len(scene.points)} points, extent {extent:.2f}")
+
+    sched = MsSchedule(max_reso_pow=args.ms_train_max_scale
+                       if args.ms_train else 0,
+                       ms_train=args.ms_train,
+                       insert_large=args.insert_large,
+                       rng=random.Random(args.seed))
+    filter_large = args.grow_large or args.insert_large
+
+    n0 = len(scene.points)
+    capacity = args.capacity or max(next_pow2(n0 * 4), 1 << 16)
+    if n0 > capacity:
+        # Explicit small capacity: subsample the init cloud to fit.
+        keep = np.random.default_rng(args.seed).choice(
+            n0, capacity // 2, replace=False)
+        scene.points = scene.points[keep]
+        scene.colors = scene.colors[keep]
+        n0 = len(scene.points)
+        print(f"  subsampled init cloud to {n0} (capacity {capacity})")
+    cfg = GaussianConfig(sh_degree=args.sh_degree,
+                         reso_lvls=sched.reso_lvls,
+                         multi_occ=args.multi_occ, multi_dc=args.multi_dc,
+                         capacity=capacity)
+    settings = RasterSettings(filter_small=args.filter_small,
+                              filter_large=filter_large,
+                              entry_cap=args.entry_cap,
+                              backend=args.backend)
+
+    st = create_from_points(cfg, scene.points, scene.colors)
+    state = L.init_train_state(st)
+    first_iter = 0
+    if args.start_checkpoint:
+        state = load_train_state(args.start_checkpoint, state)
+        first_iter = int(state.iteration)
+        print(f"Resumed from {args.start_checkpoint} at {first_iter}")
+
+    key = jax.random.PRNGKey(args.seed)
+    bg = jnp.ones((3,)) if args.white_background else jnp.zeros((3,))
+
+    viewpoint_stack = []
+    cur_lvl = 0
+    last_reset = None
+    ema_loss = 0.0
+    spatial_lr = float(extent)
+    t_start = time.time()
+
+    def grow_capacity(state, new_cap):
+        import jax.tree_util as jtu
+        print(f"[capacity] growing {cfg.capacity} -> {new_cap}")
+
+        def pad(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and \
+                    x.shape[0] == cfg.capacity:
+                pad_width = [(0, new_cap - cfg.capacity)] + \
+                    [(0, 0)] * (x.ndim - 1)
+                fill = -1.0 if False else 0
+                return jnp.pad(x, pad_width)
+            return x
+        return jtu.tree_map(pad, state)
+
+    for iteration in range(first_iter + 1, op.iterations + 1):
+        # SH warmup every 1000 iters (train.py:147-149).
+        if iteration % 1000 == 0:
+            state = state._replace(gaussians=one_up_sh_degree(
+                state.gaussians, cfg.sh_degree))
+
+        # Viewpoint sampling: stack per level-epoch (train.py:151-194).
+        if not viewpoint_stack:
+            cur_lvl = sched.sample_level(iteration)
+            viewpoint_stack = list(scene.train_views)
+        view = viewpoint_stack.pop(random.randint(0, len(viewpoint_stack) - 1))
+        sched.count_iteration(cur_lvl)
+        scale = sched.scales[cur_lvl]
+        cam = view.camera(scale)
+        gt = jnp.asarray(view.image(scale))
+
+        do_px = iteration >= 250 and (last_reset is None
+                                      or iteration - last_reset > 250)
+        do_ds = iteration < op.densify_until_iter
+
+        state, metrics = L.train_step(
+            state, cam, gt,
+            cfg=cfg, op=op, settings=settings, reso_lvl=cur_lvl,
+            spatial_lr_scale=spatial_lr, lambda_dssim=op.lambda_dssim,
+            loss_mult=loss_weight(cur_lvl) if args.ms_train else 1.0,
+            fade_size=args.fade_size,
+            do_px_update=do_px, do_densify_stats=do_ds,
+            ms_lr_active=iteration >= 1 and (args.multi_occ or args.multi_dc))
+
+        # Densification cadence (train.py:247-264).
+        if iteration < op.densify_until_iter:
+            if (iteration > op.densify_from_iter
+                    and sched.reso_iterations[cur_lvl]
+                    % op.densification_interval == 0):
+                if cur_lvl == 0:
+                    size_thr = 20.0 if iteration > op.opacity_reset_interval \
+                        else 0.0
+                    key, sub = jax.random.split(key)
+                    state = L.densify_step(
+                        state, sub, op=op, scene_extent=float(extent),
+                        max_screen_size=size_thr)
+                elif args.grow_large:
+                    state = L.grow_step(state, cur_lvl, op=op)
+            if (iteration % op.opacity_reset_interval == 0
+                    or (args.white_background
+                        and iteration == op.densify_from_iter)):
+                last_reset = iteration
+                state = L.reset_opacity_step(state)
+
+        # Insert-large episode (train.py:269-387).
+        target = sched.insert_target_for(iteration) if args.insert_large \
+            else None
+        if target is not None:
+            state = run_insert_episode(
+                state, scene, sched, target, cfg, settings, extent, args)
+
+        # Host-side housekeeping every 10 iters.
+        if iteration % 10 == 0 or iteration == op.iterations:
+            loss = float(metrics["loss"])
+            ema_loss = 0.4 * loss + 0.6 * ema_loss
+            n_live = int(metrics["num_live"])
+            overflow = int(metrics["overflow"])
+            if overflow > 0:
+                new_cap = next_pow2(settings.entry_cap + overflow)
+                print(f"[entry_cap] overflow {overflow}; growing "
+                      f"{settings.entry_cap} -> {new_cap}")
+                settings = settings._replace(entry_cap=new_cap)
+            # Grow Gaussian capacity when >90% full.
+            if n_live > 0.9 * cfg.capacity:
+                new_cap = cfg.capacity * 2
+                state = grow_capacity(state, new_cap)
+                cfg = cfg._replace(capacity=new_cap)
+            if iteration % 100 == 0:
+                elapsed = time.time() - t_start
+                print(f"it {iteration:6d} lvl {cur_lvl} loss {ema_loss:.5f} "
+                      f"live {n_live} entries {int(metrics['num_entries'])} "
+                      f"({elapsed:.0f}s)")
+                log_f.write(json.dumps(
+                    {"it": iteration, "loss": loss, "lvl": cur_lvl,
+                     "live": n_live, "t": elapsed}) + "\n")
+                log_f.flush()
+
+        # Eval (training_report analog, train.py:446-551).
+        if iteration in args.test_iterations or (
+                args.test_interval > 0
+                and iteration % args.test_interval == 0):
+            report = evaluate_scales(state, scene, sched, cfg, settings,
+                                     args, bg, iteration)
+            log_f.write(json.dumps({"it": iteration, "eval": report}) + "\n")
+            log_f.flush()
+
+        if iteration in args.save_iterations:
+            out_dir = os.path.join(args.model_path,
+                                   f"point_cloud/iteration_{iteration}")
+            os.makedirs(out_dir, exist_ok=True)
+            save_ply_snapshot(os.path.join(out_dir, "point_cloud.ply"),
+                              state.gaussians)
+            print(f"[save] {out_dir}")
+
+        if iteration in args.checkpoint_iterations:
+            save_train_state(os.path.join(
+                args.model_path, f"chkpnt{iteration}.npz"), state)
+
+    log_f.close()
+    return state
+
+
+def run_insert_episode(state, scene, sched, target_lvl, cfg, settings,
+                       extent, args):
+    """Insert-large orchestration (train.py:269-387): render all train cams
+    at level 0 for visibility, at the target level for per-Gaussian min
+    pixel size over views; select sub-pixel level-0 Gaussians; voxel-insert;
+    re-render target level once to initialize the new rows' stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from msgs.model import gaussians as G
+    from msgs.train import loop as L
+
+    C = cfg.capacity
+    print(f"[insert_large] episode at lvl {target_lvl}")
+    visible_l0 = jnp.zeros((C,), bool)
+    min_px = jnp.full((C,), jnp.inf)
+
+    for view in scene.train_views:
+        cam0 = view.camera(sched.scales[0])
+        out0 = L.eval_render(state, cam0, cfg=cfg, settings=settings,
+                             reso_lvl=0)
+        visible_l0 = visible_l0 | out0.visible
+        camt = view.camera(sched.scales[target_lvl])
+        outt = L.eval_render(state, camt, cfg=cfg, settings=settings,
+                             reso_lvl=target_lvl)
+        px = jnp.where(outt.pixel_sizes > 0, outt.pixel_sizes, jnp.inf)
+        min_px = jnp.minimum(min_px, px)
+
+    st = state.gaussians
+    sel = (visible_l0 & (min_px < 1.0) & jnp.isfinite(min_px)
+           & (st.target_reso_lvl == 0) & st.live)
+    cur_min = jnp.where(jnp.isfinite(min_px), min_px, 0.0)
+    voxel_reso = 0.02 * (target_lvl / 4.0)
+    state, n_ins = L.insert_large_step(
+        state, sel, cur_min, target_lvl,
+        scene_extent=float(extent), voxel_reso=float(voxel_reso))
+    print(f"[insert_large] inserted {int(n_ins)} aggregates at lvl "
+          f"{target_lvl} (from {int(sel.sum())} selected)")
+
+    # One pass at the target level to initialize new rows' pixel stats
+    # (train.py:336-345).
+    st = state.gaussians
+    for view in scene.train_views:
+        camt = view.camera(sched.scales[target_lvl])
+        outt = L.eval_render(state, camt, cfg=cfg, settings=settings,
+                             reso_lvl=target_lvl)
+        st = G.update_pixel_sizes(st, outt.pixel_sizes, target_lvl,
+                                  cfg.reso_lvls)
+    return state._replace(gaussians=st)
+
+
+def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
+    """Per-scale eval over the test set + 5 fixed train views
+    (training_report, train.py:446-551)."""
+    import jax.numpy as jnp
+
+    from msgs.eval.metrics import l1_loss, psnr
+    from msgs.train import loop as L
+
+    report = {}
+    configs = [("test", scene.test_views),
+               ("train", scene.train_views[:5])]
+    for split, views in configs:
+        if not views:
+            continue
+        for lvl, scale in enumerate(sched.scales):
+            l1s, psnrs, times = [], [], []
+            for view in views:
+                cam = view.camera(scale)
+                t0 = time.time()
+                out = L.eval_render(state, cam, cfg=cfg, settings=settings,
+                                    reso_lvl=lvl, bg=bg)
+                img = jnp.clip(out.image, 0, 1)
+                img.block_until_ready()
+                times.append(time.time() - t0)
+                gt = jnp.asarray(view.image(scale))
+                l1s.append(float(l1_loss(img, gt)))
+                psnrs.append(float(psnr(img, gt)))
+            report[f"{split}_s{scale}"] = {
+                "l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs)),
+                "render_ms": float(np.mean(times) * 1000)}
+            print(f"[eval {iteration}] {split} x{scale}: "
+                  f"psnr {np.mean(psnrs):.2f} l1 {np.mean(l1s):.4f} "
+                  f"{np.mean(times)*1000:.1f}ms")
+    return report
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    training(args)
+
+
+if __name__ == "__main__":
+    main()

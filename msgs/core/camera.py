@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,9 +30,14 @@ def focal2fov(focal: float, pixels: float) -> float:
     return 2.0 * math.atan(pixels / (2.0 * focal))
 
 
+@jax.tree_util.register_pytree_node_class
 class Camera(NamedTuple):
     """Immutable camera. Matrices use the reference's row-vector convention:
-    stored transposed, points transform as `p_row @ M`."""
+    stored transposed, points transform as `p_row @ M`.
+
+    Registered as a custom pytree so `width`/`height` stay *static* across
+    jit boundaries (they determine tile-grid shapes) while the matrices are
+    traced leaves."""
 
     world_view: jnp.ndarray   # (4,4) = W2V^T  (row-vector convention)
     full_proj: jnp.ndarray    # (4,4) = (P @ W2V)^T
@@ -40,6 +46,15 @@ class Camera(NamedTuple):
     tanfovy: jnp.ndarray      # scalar
     width: int                # static
     height: int               # static
+
+    def tree_flatten(self):
+        leaves = (self.world_view, self.full_proj, self.cam_center,
+                  self.tanfovx, self.tanfovy)
+        return leaves, (self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, width=aux[0], height=aux[1])
 
     @property
     def focal_x(self):

@@ -141,12 +141,30 @@ def read_points3d_text(path: str):
 
 
 def load_sparse(sparse_dir: str):
-    """Load (cameras, images, points_xyz, points_rgb) preferring binary."""
+    """Load (cameras, images, points_xyz, points_rgb) preferring binary,
+    via the native C++ parsers (msgs/data/native_io.py) when the toolchain
+    built them, else the Python fallbacks."""
     if os.path.exists(os.path.join(sparse_dir, "cameras.bin")):
+        from msgs.data import native_io
         cams = read_cameras_binary(os.path.join(sparse_dir, "cameras.bin"))
-        imgs = read_images_binary(os.path.join(sparse_dir, "images.bin"))
-        xyz, rgb, _ = read_points3d_binary(
+        imgs_native = native_io.read_images_bin(
+            os.path.join(sparse_dir, "images.bin"))
+        if imgs_native is not None:
+            imgs = {
+                int(iid): ColmapImage(
+                    int(iid), imgs_native["qvec"][i], imgs_native["tvec"][i],
+                    int(imgs_native["camera_id"][i]),
+                    imgs_native["names"][i])
+                for i, iid in enumerate(imgs_native["image_id"])}
+        else:
+            imgs = read_images_binary(os.path.join(sparse_dir, "images.bin"))
+        pts_native = native_io.read_points3d_bin(
             os.path.join(sparse_dir, "points3D.bin"))
+        if pts_native is not None:
+            xyz, rgb, _ = pts_native
+        else:
+            xyz, rgb, _ = read_points3d_binary(
+                os.path.join(sparse_dir, "points3D.bin"))
     else:
         cams = read_cameras_text(os.path.join(sparse_dir, "cameras.txt"))
         imgs = read_images_text(os.path.join(sparse_dir, "images.txt"))

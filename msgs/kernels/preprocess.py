@@ -46,13 +46,19 @@ def _ewa_project(cov3d, means3d, world_view_t, tanfovx, tanfovy, focal_x, focal_
 
     world_view_t is the transposed world→view matrix (row-vector convention),
     so the view rotation is world_view_t[:3, :3].T.
+
+    Rows with view-space z below the near-cull plane get a safe unit depth:
+    they are culled downstream, but without the guard their 1/z produces
+    inf/NaN intermediates whose zero-cotangent backward turns into NaN
+    gradients (0·NaN) at dead/culled rows.
     """
     W = world_view_t[:3, :3].T                      # (3,3) view rotation
     t = means3d @ world_view_t[:3, :3] + world_view_t[3, :3]  # view-space pos
 
     # Clamp the view ray to the frustum edge before building the Jacobian
     # (mirrors the reference kernel's 1.3·tanfov clamp).
-    tz = t[:, 2]
+    tz_real = t[:, 2]
+    tz = jnp.where(tz_real >= NEAR_CULL, tz_real, 1.0)
     lim_x = 1.3 * tanfovx
     lim_y = 1.3 * tanfovy
     txz = jnp.clip(t[:, 0] / tz, -lim_x, lim_x) * tz
@@ -134,7 +140,10 @@ def preprocess(
     # Projection (row-vector convention: p_row @ M_T).
     hom = jnp.concatenate([means3d, jnp.ones((N, 1), means3d.dtype)], axis=1)
     p_hom = hom @ camera.full_proj
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
+    # w ≈ view-space z; rows behind the near plane are culled downstream but
+    # need a safe divisor so 0·NaN doesn't poison gradients of dead rows.
+    denom = jnp.where(p_hom[:, 3] >= NEAR_CULL, p_hom[:, 3] + 1e-7, 1.0)
+    p_w = 1.0 / denom
     ndc = p_hom[:, :3] * p_w[:, None]
     if means2d_probe is not None:
         # Densification gradient probe: zeros added in NDC so its gradient is
@@ -184,7 +193,10 @@ def preprocess(
             bucket = min(max(int(reso_lvl) - 1, 0), N_APP_LEVELS - 1)
             sh = sh.at[:, 0, :].add(dc_delta[:, bucket, :])
         dirs = means3d - camera.cam_center[None, :]
-        dirs = dirs / (jnp.linalg.norm(dirs, axis=1, keepdims=True) + 1e-9)
+        # eps inside the sqrt: norm's gradient at 0 is NaN, which would
+        # poison dead-row xyz gradients through the zero cotangent.
+        dirs = dirs / jnp.sqrt(
+            jnp.sum(dirs * dirs, axis=1, keepdims=True) + 1e-12)
         colors = jnp.maximum(eval_sh(sh, dirs, active_sh_degree) + 0.5, 0.0)
 
     # Effective opacity: MS selection weights fold in multiplicatively.

@@ -54,6 +54,75 @@ def _resolve_backend(backend: str) -> str:
     return "pallas"
 
 
+class CompositeResult(NamedTuple):
+    image: jnp.ndarray          # (H, W, 3) without bg
+    depth: jnp.ndarray
+    acc_pixel_size: jnp.ndarray
+    transmittance: jnp.ndarray
+    contributed: jnp.ndarray    # (N,) bool
+    num_entries: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def composite_pipeline(pre, width: int, height: int,
+                       settings: RasterSettings) -> CompositeResult:
+    """Everything after preprocess: bin → gather payload → composite →
+    unpack. Factored out so the sharded renderer (dist/shard.py) can run it
+    per tile-stripe on stripe-shifted preprocess outputs."""
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    tiles = tiles_x * tiles_y
+    N = pre.depths.shape[0]
+
+    binned = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, pre),
+        width, height, settings.entry_cap)
+
+    feats = jnp.zeros((N, comp.NFEAT), jnp.float32)
+    feats = feats.at[:, comp.F_MX].set(pre.means2d[:, 0])
+    feats = feats.at[:, comp.F_MY].set(pre.means2d[:, 1])
+    feats = feats.at[:, comp.F_CXX].set(pre.conics[:, 0])
+    feats = feats.at[:, comp.F_CXY].set(pre.conics[:, 1])
+    feats = feats.at[:, comp.F_CYY].set(pre.conics[:, 2])
+    feats = feats.at[:, comp.F_R:comp.F_B + 1].set(pre.colors)
+    feats = feats.at[:, comp.F_OP].set(pre.opacities)
+    feats = feats.at[:, comp.F_DEPTH].set(pre.depths)
+    feats = feats.at[:, comp.F_PSIZE].set(pre.pixel_sizes)
+
+    ids = binned.gauss_id
+    valid = ids >= 0
+    idc = jnp.maximum(ids, 0)
+    entry_feat = jnp.where(valid[:, None], feats[idc], 0.0)
+    entry_feat = entry_feat.at[:, comp.F_VALID].set(valid.astype(jnp.float32))
+    payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT).transpose(0, 2, 1)
+
+    backend = _resolve_backend(settings.backend)
+    fn = comp.composite if backend == "pallas" else comp.composite_reference
+    tiles_out, contrib = fn(payload, binned.block_tile, binned.block_valid,
+                            tiles, tiles_x, width, height)
+
+    empty_init = jnp.zeros((comp.NOUT,), jnp.float32).at[comp.O_T].set(1.0)
+    tiles_out = jnp.where(
+        binned.tile_nonempty[:, None, None], tiles_out, empty_init)
+    full = tiles_out.reshape(tiles_y, tiles_x, TILE, TILE, comp.NOUT)
+    full = full.transpose(0, 2, 1, 3, 4).reshape(
+        tiles_y * TILE, tiles_x * TILE, comp.NOUT)[:height, :width]
+
+    contrib_flat = jax.lax.stop_gradient(contrib).reshape(-1)
+    seg_ids = jnp.where(valid, idc, N)
+    max_w = jax.ops.segment_max(contrib_flat, seg_ids, num_segments=N + 1)[:N]
+
+    return CompositeResult(
+        image=full[..., comp.O_R:comp.O_B + 1],
+        depth=full[..., comp.O_DEPTH],
+        acc_pixel_size=full[..., comp.O_ACC],
+        transmittance=full[..., comp.O_T],
+        contributed=max_w > 0.0,
+        num_entries=binned.num_entries,
+        overflow=binned.overflow,
+    )
+
+
 def rasterize(
     camera,
     means3d: jnp.ndarray,
@@ -79,10 +148,6 @@ def rasterize(
     settings: RasterSettings = RasterSettings(),
 ) -> RenderOutput:
     H, W = camera.height, camera.width
-    tiles_x = (W + TILE - 1) // TILE
-    tiles_y = (H + TILE - 1) // TILE
-    tiles = tiles_x * tiles_y
-    N = means3d.shape[0]
 
     pre = preprocess(
         camera, means3d, opacities,
@@ -95,70 +160,21 @@ def rasterize(
         min_pixel_sizes=min_pixel_sizes, base_mask=base_mask,
         occ_multiplier=occ_multiplier, dc_delta=dc_delta, reso_lvl=reso_lvl)
 
-    binned = bin_gaussians(
-        jax.tree_util.tree_map(jax.lax.stop_gradient, pre),
-        W, H, settings.entry_cap)
+    res = composite_pipeline(pre, W, H, settings)
 
-    # Per-Gaussian feature rows (differentiable), gathered per entry.
-    feats = jnp.zeros((N, comp.NFEAT), jnp.float32)
-    feats = feats.at[:, comp.F_MX].set(pre.means2d[:, 0])
-    feats = feats.at[:, comp.F_MY].set(pre.means2d[:, 1])
-    feats = feats.at[:, comp.F_CXX].set(pre.conics[:, 0])
-    feats = feats.at[:, comp.F_CXY].set(pre.conics[:, 1])
-    feats = feats.at[:, comp.F_CYY].set(pre.conics[:, 2])
-    feats = feats.at[:, comp.F_R:comp.F_B + 1].set(pre.colors)
-    feats = feats.at[:, comp.F_OP].set(pre.opacities)
-    feats = feats.at[:, comp.F_DEPTH].set(pre.depths)
-    feats = feats.at[:, comp.F_PSIZE].set(pre.pixel_sizes)
-
-    ids = binned.gauss_id
-    valid = ids >= 0
-    idc = jnp.maximum(ids, 0)
-    entry_feat = jnp.where(valid[:, None], feats[idc], 0.0)
-    entry_feat = entry_feat.at[:, comp.F_VALID].set(valid.astype(jnp.float32))
-    payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT).transpose(0, 2, 1)
-
-    backend = _resolve_backend(settings.backend)
-    if backend == "pallas":
-        tiles_out, contrib = comp.composite(
-            payload, binned.block_tile, binned.block_valid, tiles, tiles_x,
-            W, H)
-    else:
-        tiles_out, contrib = comp.composite_reference(
-            payload, binned.block_tile, binned.block_valid, tiles, tiles_x,
-            W, H)
-
-    # Mask tiles that never received a block (their buffers are undefined for
-    # the Pallas backend), then unpack (T, 256, C) → (H, W, C).
-    empty_init = jnp.zeros((comp.NOUT,), jnp.float32).at[comp.O_T].set(1.0)
-    tiles_out = jnp.where(
-        binned.tile_nonempty[:, None, None], tiles_out, empty_init)
-    full = tiles_out.reshape(tiles_y, tiles_x, TILE, TILE, comp.NOUT)
-    full = full.transpose(0, 2, 1, 3, 4).reshape(
-        tiles_y * TILE, tiles_x * TILE, comp.NOUT)[:H, :W]
-
-    color = full[..., comp.O_R:comp.O_B + 1]
-    t_final = full[..., comp.O_T]
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
-    image = color + t_final[..., None] * bg
-
-    # Per-Gaussian contribution mask from per-entry max blend weights.
-    contrib_flat = jax.lax.stop_gradient(contrib).reshape(-1)
-    seg_ids = jnp.where(valid, idc, N)
-    max_w = jax.ops.segment_max(
-        contrib_flat, seg_ids, num_segments=N + 1)[:N]
-    contributed = max_w > 0.0
-    pixel_sizes = jnp.where(contributed, pre.pixel_sizes, 0.0)
+    image = res.image + res.transmittance[..., None] * bg
+    pixel_sizes = jnp.where(res.contributed, pre.pixel_sizes, 0.0)
 
     return RenderOutput(
         image=image,
-        depth=full[..., comp.O_DEPTH],
-        acc_pixel_size=full[..., comp.O_ACC],
-        transmittance=t_final,
+        depth=res.depth,
+        acc_pixel_size=res.acc_pixel_size,
+        transmittance=res.transmittance,
         radii=pre.radii,
         pixel_sizes=pixel_sizes,
         visible=pre.radii > 0,
-        num_entries=binned.num_entries,
-        overflow=binned.overflow,
+        num_entries=res.num_entries,
+        overflow=res.overflow,
     )

@@ -125,7 +125,8 @@ def train_step(state: TrainState, camera, gt_image, *,
     return new_state, metrics
 
 
-@functools.partial(jax.jit, static_argnames=("op",))
+@functools.partial(jax.jit, static_argnames=("op", "scene_extent",
+                                             "max_screen_size"))
 def densify_step(state: TrainState, key, *, op: OptimParams,
                  scene_extent: float, max_screen_size: float) -> TrainState:
     st, touched = G.densify_and_prune(

@@ -1,0 +1,115 @@
+"""End-to-end CLI tests: train on a tiny synthetic Blender-format scene,
+then render + metrics over the result — the apps-level smoke path."""
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synthetic_scene(tmp_path_factory):
+    """A tiny NeRF-synthetic-style dataset: GT images rendered from a known
+    Gaussian model via the oracle backend."""
+    import imageio.v2 as imageio
+    import jax.numpy as jnp
+
+    from msgs.core.camera import make_camera
+    from msgs.kernels.rasterize import RasterSettings
+    from msgs.model.gaussians import GaussianConfig, create_from_points
+    from msgs.train import loop as L
+
+    root = tmp_path_factory.mktemp("scene")
+    (root / "train").mkdir()
+
+    rng = np.random.default_rng(0)
+    n = 80
+    pts = np.concatenate([
+        rng.uniform(-0.8, 0.8, (n, 2)), rng.uniform(-0.3, 0.3, (n, 1))],
+        axis=1).astype(np.float32)
+    cols = rng.uniform(0.2, 1.0, (n, 3)).astype(np.float32)
+    cfg = GaussianConfig(sh_degree=0, reso_lvls=1, capacity=128)
+    st = create_from_points(cfg, pts, cols)
+    state = L.init_train_state(st)
+    settings = RasterSettings(backend="reference", entry_cap=1 << 12)
+
+    fov = 0.9
+    frames = []
+    W = H = 64
+    for i in range(6):
+        ang = 2 * math.pi * i / 6
+        # camera on a circle of radius 4 looking at origin
+        pos = np.array([4 * math.sin(ang), 0.0, -4 * math.cos(ang)])
+        fwd = -pos / np.linalg.norm(pos)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(fwd, right)
+        R = np.stack([right, true_up, fwd], axis=1)
+        T = -R.T @ pos
+        cam = make_camera(R, T, fov, fov, W, H)
+        out = L.eval_render(state, cam, cfg=cfg, settings=settings)
+        img = np.clip(np.asarray(out.image), 0, 1)
+        name = f"./train/r_{i}"
+        imageio.imwrite(str(root / f"train/r_{i}.png"),
+                        (img * 255).astype(np.uint8))
+        c2w = np.linalg.inv(
+            np.block([[R.T, (T)[:, None]], [np.zeros((1, 3)), np.ones((1, 1))]]))
+        # store OpenGL-convention c2w (loader flips cols 1:3 back)
+        c2w_gl = c2w.copy()
+        c2w_gl[:3, 1:3] *= -1
+        frames.append({"file_path": name,
+                       "transform_matrix": c2w_gl.tolist()})
+    meta = {"camera_angle_x": fov, "frames": frames}
+    with open(root / "transforms_train.json", "w") as f:
+        json.dump(meta, f)
+    return str(root)
+
+
+def test_blender_loader_roundtrip(synthetic_scene):
+    from msgs.data.dataset import load_scene
+    scene = load_scene(synthetic_scene, eval_split=False)
+    assert len(scene.train_views) == 6
+    img = scene.train_views[0].image(1.0)
+    assert img.shape == (64, 64, 3)
+    cam = scene.train_views[0].camera(1.0)
+    assert cam.width == 64
+
+
+def test_train_cli_end_to_end(synthetic_scene, tmp_path):
+    from msgs.apps import train as train_app
+    out = str(tmp_path / "model")
+    train_app.main([
+        "-s", synthetic_scene, "-m", out,
+        "--iterations", "40", "--capacity", "256",
+        "--entry_cap", "4096", "--backend", "reference",
+        "--test_iterations", "40", "--test_interval", "0",
+        "--save_iterations", "40", "--sh_degree", "1", "--quiet"])
+    assert os.path.exists(os.path.join(
+        out, "point_cloud/iteration_40/point_cloud.ply"))
+    log = [json.loads(l) for l in
+           open(os.path.join(out, "train_log.jsonl"))]
+    evals = [r for r in log if "eval" in r]
+    assert evals, "no eval record written"
+    psnr = evals[-1]["eval"]["train_s1"]["psnr"]
+    assert np.isfinite(psnr) and psnr > 10.0, psnr
+
+
+def test_render_and_metrics_cli(synthetic_scene, tmp_path):
+    from msgs.apps import metrics as metrics_app
+    from msgs.apps import render as render_app
+    from msgs.apps import train as train_app
+    out = str(tmp_path / "model2")
+    train_app.main([
+        "-s", synthetic_scene, "-m", out,
+        "--iterations", "10", "--capacity", "256", "--entry_cap", "4096",
+        "--backend", "reference", "--test_interval", "0",
+        "--test_iterations", "-1",
+        "--save_iterations", "10", "--sh_degree", "0", "--quiet"])
+    render_app.main(["-m", out, "--skip_test", "--backend", "reference",
+                     "--entry_cap", "4096"])
+    metrics_app.main(["-m", out, "--splits", "train"])
+    results = json.load(open(os.path.join(out, "results.json")))
+    assert "ours_10" in results
+    assert np.isfinite(results["ours_10"]["PSNR"])

@@ -1,0 +1,81 @@
+"""Sharded (2-D mesh) rendering must match the single-device path: loss
+values and parameter gradients. L1 is exact; SSIM differs only in an 11-px
+band at stripe boundaries, so exactness is asserted at lambda_dssim=0."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from msgs.core.camera import make_camera
+from msgs.dist.mesh import GAUSS_AXIS, TILE_AXIS, make_mesh
+from msgs.dist.shard import build_sharded_loss, state_as_dicts
+from msgs.eval.metrics import l1_loss
+from msgs.kernels.preprocess import TILE
+from msgs.kernels.rasterize import RasterSettings
+from msgs.model.gaussians import GaussianConfig, create_from_points
+from msgs.train.loop import render_state
+
+CAP = 512
+H, W = 128, 64  # 8 stripes of one tile-row each
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    n = CAP // 2
+    means = np.concatenate([
+        rng.uniform(-1.0, 1.0, (n, 2)),
+        rng.uniform(2.5, 7.0, (n, 1))], axis=1).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cfg = GaussianConfig(sh_degree=1, reso_lvls=2, capacity=CAP)
+    st = create_from_points(cfg, means, colors)
+    cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.9 * H / W, W, H)
+    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    return cfg, st, cam, gt
+
+
+def test_sharded_matches_single(setup):
+    cfg, st, cam, gt = setup
+    mesh = make_mesh(n_gauss=2, n_tile=4)
+    settings = RasterSettings(backend="pallas", entry_cap=1 << 12)
+
+    sharded_loss = build_sharded_loss(mesh, cfg, settings, H, W,
+                                      lambda_dssim=0.0)
+    params, side = state_as_dicts(st)
+    gauss_sh = NamedSharding(mesh, P(GAUSS_AXIS))
+    repl = NamedSharding(mesh, P())
+    params = {k: jax.device_put(v, gauss_sh) for k, v in params.items()}
+    side = {k: jax.device_put(v, repl if k == "active_sh_degree"
+                              else gauss_sh) for k, v in side.items()}
+    probe = jax.device_put(jnp.zeros((CAP, 2)), gauss_sh)
+    gt_sh = jax.device_put(gt, NamedSharding(mesh, P((GAUSS_AXIS, TILE_AXIS))))
+
+    @jax.jit
+    def sh_val_grad(params, side, probe, gt):
+        return jax.value_and_grad(sharded_loss, argnums=(0, 2),
+                                  has_aux=True)(params, side, probe, cam, gt)
+
+    (loss_sh, aux), (g_sh, pg_sh) = sh_val_grad(params, side, probe, gt_sh)
+
+    # Single-device reference: same loss through the plain rasterizer.
+    def single_loss(params, probe):
+        st2 = st.with_params(params)
+        out = render_state(st2, cam, cfg, settings,
+                           bg=jnp.zeros((3,)), means2d_probe=probe)
+        return l1_loss(out.image, gt)
+
+    (loss_1), (g_1, pg_1) = jax.value_and_grad(
+        single_loss, argnums=(0, 1))(st.params(), jnp.zeros((CAP, 2)))
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-5)
+    for k in g_1:
+        a, b = np.asarray(g_1[k]), np.asarray(g_sh[k])
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=3e-5 * scale,
+                                   err_msg=f"sharded grad mismatch: {k}")
+    np.testing.assert_allclose(np.asarray(pg_sh), np.asarray(pg_1),
+                               atol=3e-5 * max(np.abs(pg_1).max(), 1e-8))
+    # Side outputs.
+    assert bool(jnp.any(aux.contributed))
+    assert int(aux.overflow) == 0
