@@ -12,6 +12,7 @@ publishes no numbers (BASELINE.md), so this is the documented stand-in until
 a measured CUDA baseline lands.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -25,6 +26,14 @@ ENTRY_CAP = 1 << 21
 
 def main():
     import jax
+    try:
+        cache_dir = os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from msgs.core.camera import make_camera
     from msgs.kernels.rasterize import RasterSettings, rasterize

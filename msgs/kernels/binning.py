@@ -34,14 +34,18 @@ class Binned(NamedTuple):
     tile_nonempty: jnp.ndarray # (T,) bool — tile has ≥1 entry
     num_entries: jnp.ndarray   # () int32 — duplicated entries (pre-padding)
     overflow: jnp.ndarray      # () int32 — entries dropped due to capacity
+    by_gid_perm: jnp.ndarray   # (E_cap,) int32 — packed→gid-sorted permutation
+    gid_sorted: jnp.ndarray    # (E_cap,) int32 — gauss ids in that order (N=pad)
 
 
 def entry_capacity(entry_cap: int, tiles: int) -> int:
     """Total packed-entry capacity: duplicates + worst-case per-tile padding,
-    rounded to 8 blocks (Mosaic requires ≥(8,128) output block shapes, so the
-    compositor's per-entry outputs are grouped 8 blocks per VMEM block)."""
+    rounded to 128 blocks (the compositor's per-entry contrib output is
+    column-major (BLOCK, B_cap) with (128, 128) VMEM blocks — Mosaic needs a
+    128-divisible trailing block dim)."""
     cap = entry_cap + BLOCK * tiles + BLOCK
-    return ((cap + 8 * BLOCK - 1) // (8 * BLOCK)) * (8 * BLOCK)
+    group = 128 * BLOCK
+    return ((cap + group - 1) // group) * group
 
 
 def block_capacity(entry_cap: int, tiles: int) -> int:
@@ -85,42 +89,46 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         (tile_key, depth_key, gid.astype(jnp.int32)),
         num_keys=2, is_stable=True)
 
-    # Per-tile segment sizes and block-aligned packing positions.
-    ones = jnp.ones((entry_cap,), jnp.int32)
-    tile_counts = jax.ops.segment_sum(
-        jnp.where(tile_s < T, ones, 0), tile_s, num_segments=T + 1)[:T]
-    tile_start = jnp.cumsum(tile_counts) - tile_counts          # (T,)
+    # Per-tile segment boundaries from the *sorted* tile keys — searchsorted
+    # instead of segment_sum: TPU scatters serialize, binary search doesn't.
+    bounds = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    tile_start = bounds[:T]
+    tile_counts = bounds[1:] - bounds[:T]
     padded_counts = ((tile_counts + BLOCK - 1) // BLOCK) * BLOCK
     padded_start = jnp.cumsum(padded_counts) - padded_counts    # (T,)
+    total_padded = padded_start[-1] + padded_counts[-1]
 
-    tile_s_c = jnp.minimum(tile_s, T - 1)
-    rank = jnp.arange(entry_cap, dtype=jnp.int32) - tile_start[tile_s_c]
-    pos = padded_start[tile_s_c] + rank
-    pos = jnp.where(tile_s < T, pos, E_cap)  # drop invalid entries
-
-    gauss_id = jnp.full((E_cap,), -1, jnp.int32).at[pos].set(
-        gid_s, mode="drop")
-
-    # Block → tile ownership map. Unused-capacity blocks alias the last real
-    # tile (harmless rewrite target for the compositor's output pipeline).
-    n_blocks = padded_counts // BLOCK                            # (T,)
-    total_blocks = jnp.sum(n_blocks)
-    block_start = padded_start // BLOCK
-    block_tile = jnp.zeros((B_cap,), jnp.int32)
-    # scatter-add pattern: mark tile starts, then inclusive max-scan.
-    first_marks = jnp.full((B_cap,), -1, jnp.int32).at[block_start].max(
-        jnp.arange(T, dtype=jnp.int32),
-        mode="drop")
-    # Tiles with zero blocks share a block_start with the next tile; the .max
-    # keeps the *last* such tile id, but empty tiles own no entries so any
-    # consistent owner works — forward-fill assigns each block the most recent
-    # tile whose segment started at or before it.
-    block_tile = jax.lax.associative_scan(jnp.maximum, first_marks)
-    block_tile = jnp.maximum(block_tile, 0)
+    # Block → tile ownership: padded ranges tile [0, total_padded)
+    # contiguously, so each block's owner is a binary search over starts.
+    # Unused-capacity blocks alias the last nonempty tile (harmless rewrite
+    # target for the compositor's output pipeline).
     block_idx = jnp.arange(B_cap, dtype=jnp.int32)
+    block_tile = (jnp.searchsorted(padded_start, block_idx * BLOCK,
+                                   side="right") - 1).astype(jnp.int32)
+    block_tile = jnp.clip(block_tile, 0, T - 1)
+    total_blocks = total_padded // BLOCK
     block_valid = (block_idx < total_blocks).astype(jnp.int32)
     last_tile = block_tile[jnp.maximum(total_blocks - 1, 0)]
     block_tile = jnp.where(block_valid == 1, block_tile, last_tile)
+
+    # Packed entry layout via the *inverse* map (gather, not scatter): output
+    # slot o lives in tile t = block_tile[o // BLOCK] at in-tile offset
+    # r = o - padded_start[t]; its source is sorted entry tile_start[t] + r.
+    out_t = block_tile[jnp.arange(E_cap, dtype=jnp.int32) // BLOCK]
+    r = jnp.arange(E_cap, dtype=jnp.int32) - padded_start[out_t]
+    src = tile_start[out_t] + r
+    slot_valid = ((r >= 0) & (r < tile_counts[out_t])
+                  & (jnp.arange(E_cap) < total_padded))
+    gauss_id = jnp.where(slot_valid,
+                         gid_s[jnp.clip(src, 0, entry_cap - 1)], -1)
+
+    # Gid-sorted view of the packed entries, for scatter-free per-Gaussian
+    # reductions downstream (gradient accumulation, contribution flags).
+    gid_key = jnp.where(gauss_id >= 0, gauss_id, N).astype(jnp.int32)
+    gid_sorted, by_gid_perm = jax.lax.sort(
+        (gid_key, jnp.arange(E_cap, dtype=jnp.int32)),
+        num_keys=1, is_stable=True)
 
     return Binned(
         gauss_id=gauss_id,
@@ -129,4 +137,6 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         tile_nonempty=tile_counts > 0,
         num_entries=total,
         overflow=overflow,
+        by_gid_perm=by_gid_perm,
+        gid_sorted=gid_sorted,
     )

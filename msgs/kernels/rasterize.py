@@ -54,6 +54,77 @@ def _resolve_backend(backend: str) -> str:
     return "pallas"
 
 
+def _segmented_sums(values, gid_sorted, n_gaussians: int):
+    """Per-Gaussian sums of gid-sorted per-entry values — scatter-free.
+
+    TPU scatter-add serializes on colliding indices, so instead segment sums
+    come from a two-level prefix: intra-chunk cumsums over 128-entry chunks
+    (depth-7 scan) plus a cumsum over chunk totals, differenced at segment
+    boundaries found by binary search. Shallow compile graph (a single deep
+    associative_scan over millions of rows takes minutes to compile on the
+    TPU toolchain); signed-gradient prefixes keep cancellation error small.
+
+    values: (E, F) sorted so equal gids are contiguous; gid_sorted: (E,)
+    with pad entries = n_gaussians (sorted last). Returns (N, F).
+    """
+    E, F = values.shape
+    CH = 128
+    assert E % CH == 0, "entry capacity is block-aligned"
+    v3 = values.reshape(E // CH, CH, F)
+    intra = jnp.cumsum(v3, axis=1)                 # (C, CH, F), depth-7
+    chunk_tot = intra[:, -1, :]                    # (C, F)
+    chunk_incl = jnp.cumsum(chunk_tot, axis=0)     # (C, F)
+    chunk_excl = chunk_incl - chunk_tot
+    total = chunk_incl[-1]
+
+    def prefix_at(pos):
+        """P(pos) = sum of the first `pos` entries; pos: (N,) in [0, E]."""
+        c = jnp.clip(pos // CH, 0, E // CH - 1)
+        r = pos % CH
+        base = chunk_excl[c]
+        intra_part = jnp.where((r > 0)[:, None],
+                               intra[c, jnp.clip(r - 1, 0, CH - 1)], 0.0)
+        return jnp.where((pos >= E)[:, None], total[None, :],
+                         base + intra_part)
+
+    starts = jnp.searchsorted(gid_sorted,
+                              jnp.arange(n_gaussians, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(gid_sorted,
+                            jnp.arange(1, n_gaussians + 1, dtype=jnp.int32),
+                            side="left").astype(jnp.int32)
+    return prefix_at(ends) - prefix_at(starts)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _take_entry_rows(feats, idc, valid, by_gid_perm, gid_sorted):
+    """Differentiable per-entry row gather whose VJP is the scatter-free
+    segmented reduction above (instead of XLA's serialized scatter-add)."""
+    return jnp.where(valid[:, None], feats[idc], 0.0)
+
+
+def _take_fwd(feats, idc, valid, by_gid_perm, gid_sorted):
+    out = _take_entry_rows(feats, idc, valid, by_gid_perm, gid_sorted)
+    return out, (feats.shape[0], valid, by_gid_perm, gid_sorted)
+
+
+def _take_bwd(res, g):
+    n, valid, by_gid_perm, gid_sorted = res
+    g = jnp.where(valid[:, None], g, 0.0)
+    g_sorted = g[by_gid_perm]
+    d_feats = _segmented_sums(g_sorted, gid_sorted, n)
+
+    def _f0(shape):
+        import numpy as _np
+        return _np.zeros(shape, dtype=jax.dtypes.float0)
+
+    return (d_feats, _f0(by_gid_perm.shape), _f0(valid.shape),
+            _f0(by_gid_perm.shape), _f0(gid_sorted.shape))
+
+
+_take_entry_rows.defvjp(_take_fwd, _take_bwd)
+
+
 class CompositeResult(NamedTuple):
     image: jnp.ndarray          # (H, W, 3) without bg
     depth: jnp.ndarray
@@ -92,32 +163,38 @@ def composite_pipeline(pre, width: int, height: int,
     ids = binned.gauss_id
     valid = ids >= 0
     idc = jnp.maximum(ids, 0)
-    entry_feat = jnp.where(valid[:, None], feats[idc], 0.0)
+    entry_feat = _take_entry_rows(feats, idc, valid, binned.by_gid_perm,
+                                  binned.gid_sorted)
     entry_feat = entry_feat.at[:, comp.F_VALID].set(valid.astype(jnp.float32))
-    payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT).transpose(0, 2, 1)
+    payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT)
 
     backend = _resolve_backend(settings.backend)
     fn = comp.composite if backend == "pallas" else comp.composite_reference
     tiles_out, contrib = fn(payload, binned.block_tile, binned.block_valid,
                             tiles, tiles_x, width, height)
 
+    # tiles_out: (T, NOUT, 256) channel-major → (H, W, NOUT).
     empty_init = jnp.zeros((comp.NOUT,), jnp.float32).at[comp.O_T].set(1.0)
     tiles_out = jnp.where(
-        binned.tile_nonempty[:, None, None], tiles_out, empty_init)
-    full = tiles_out.reshape(tiles_y, tiles_x, TILE, TILE, comp.NOUT)
-    full = full.transpose(0, 2, 1, 3, 4).reshape(
+        binned.tile_nonempty[:, None, None], tiles_out, empty_init[:, None])
+    full = tiles_out.reshape(tiles_y, tiles_x, comp.NOUT, TILE, TILE)
+    full = full.transpose(0, 3, 1, 4, 2).reshape(
         tiles_y * TILE, tiles_x * TILE, comp.NOUT)[:height, :width]
 
-    contrib_flat = jax.lax.stop_gradient(contrib).reshape(-1)
-    seg_ids = jnp.where(valid, idc, N)
-    max_w = jax.ops.segment_max(contrib_flat, seg_ids, num_segments=N + 1)[:N]
+    # Contribution flags: per-Gaussian OR over entries, via the gid-sorted
+    # segmented reduction (sum of positive weights > 0) — no scatter-max.
+    # contrib is (BLOCK, B_cap): entry e = b·BLOCK + l ↦ contrib[l, b].
+    contrib_flat = jax.lax.stop_gradient(contrib).T.reshape(-1)
+    c_sorted = (contrib_flat[binned.by_gid_perm] > 0.0).astype(jnp.float32)
+    contributed_sum = _segmented_sums(c_sorted[:, None], binned.gid_sorted,
+                                      N)[:, 0]
 
     return CompositeResult(
         image=full[..., comp.O_R:comp.O_B + 1],
         depth=full[..., comp.O_DEPTH],
         acc_pixel_size=full[..., comp.O_ACC],
         transmittance=full[..., comp.O_T],
-        contributed=max_w > 0.0,
+        contributed=contributed_sum > 0.0,
         num_entries=binned.num_entries,
         overflow=binned.overflow,
     )

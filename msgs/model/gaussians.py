@@ -393,3 +393,19 @@ def update_pixel_sizes(st: GaussianState, pixel_sizes, lvl,
 def update_base_mask(st: GaussianState, visible) -> GaussianState:
     """Record coarsest-level visibility (preserve_large, train.py:239-241)."""
     return st._replace(base_mask=st.base_mask | (visible & st.live))
+
+
+def prune_small_points(st: GaussianState):
+    """Surface-parity stub: the reference's prune_small_points raises
+    NotImplementedError at its first line (gaussian_model.py:688-696) and the
+    --prune_small path is therefore dead there too."""
+    raise NotImplementedError(
+        "prune_small_points is unimplemented in the reference (gaussian_"
+        "model.py:689) and intentionally mirrored as such here")
+
+
+def filter_center(st: GaussianState, center, radius) -> GaussianState:
+    """Radial crop for visualization (gaussian_model.py:850-877, used by the
+    trajectory renderer): keep only Gaussians within `radius` of `center`."""
+    d = jnp.linalg.norm(st.xyz - jnp.asarray(center)[None, :], axis=1)
+    return st._replace(live=st.live & (d <= radius))

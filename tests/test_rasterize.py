@@ -114,6 +114,8 @@ def test_grads_cross_backend(camera, scene):
     for name, a, b in zip(names, g_ref, g_pal):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-8)
-        np.testing.assert_allclose(b, a, atol=1e-5 * scale + 1e-9,
+        # 3e-5·max: the scatter-free segmented-sum VJP uses global prefix
+        # differences whose rounding differs slightly between backends.
+        np.testing.assert_allclose(b, a, atol=3e-5 * scale + 1e-9,
                                    err_msg=f"grad mismatch: {name}")
         assert np.abs(a).max() > 0, f"zero gradient for {name}"
