@@ -35,7 +35,31 @@ class Binned(NamedTuple):
     num_entries: jnp.ndarray   # () int32 — duplicated entries (pre-padding)
     overflow: jnp.ndarray      # () int32 — entries dropped due to capacity
     by_gid_perm: jnp.ndarray   # (E_cap,) int32 — packed→gid-sorted permutation
-    gid_sorted: jnp.ndarray    # (E_cap,) int32 — gauss ids in that order (N=pad)
+    gid_starts: jnp.ndarray    # (N+1,) int32 — segment starts in that order
+
+
+def _two_level_cumsum(x):
+    """Inclusive prefix sum of a (E,) f32 vector via triangular MXU matmuls
+    (E multiple of 128; exact for values < 2^24)."""
+    CH = 128
+    E = x.shape[0]
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
+           ).astype(jnp.float32)
+    v = x.reshape(-1, CH)
+    intra = jnp.einsum("jk,cj->ck", tri, v,
+                       preferred_element_type=jnp.float32)
+    tot = intra[:, -1]
+    C = tot.shape[0]
+    pad = (-C) % CH
+    t2 = jnp.pad(tot, (0, pad)).reshape(-1, CH)
+    t_intra = jnp.einsum("jk,cj->ck", tri, t2,
+                         preferred_element_type=jnp.float32)
+    t_tot = t_intra[:, -1]
+    t_base = jnp.cumsum(t_tot) - t_tot
+    chunk_incl = (t_intra + t_base[:, None]).reshape(-1)[:C]
+    chunk_excl = chunk_incl - tot
+    return (intra + chunk_excl[:, None]).reshape(E)
 
 
 def entry_capacity(entry_cap: int, tiles: int) -> int:
@@ -69,21 +93,41 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     overflow = jnp.maximum(total - entry_cap, 0)
 
     # Duplicate: entry e belongs to Gaussian gid[e]; a sentinel id N absorbs
-    # the unused capacity tail.
-    counts_ext = jnp.concatenate(
-        [counts, jnp.maximum(entry_cap - total, 0)[None]])
-    ids_ext = jnp.arange(N + 1, dtype=jnp.int32)
-    gid = jnp.repeat(ids_ext, counts_ext, total_repeat_length=entry_cap)
-    valid = gid < N
-    gid_c = jnp.minimum(gid, N - 1)
+    # the unused capacity tail. Computed as a marker scatter + two-level MXU
+    # cumsum — jnp.repeat's internal searchsorted pays ~20 ms of per-round
+    # scalar gathers at millions of entries.
+    markers = jnp.zeros((entry_cap + 1,), jnp.float32).at[offsets].add(
+        1.0, mode="drop")[:entry_cap]
+    gid_f = _two_level_cumsum(markers) - 1.0
+    gid = gid_f.astype(jnp.int32)
+    valid = jnp.arange(entry_cap, dtype=jnp.int32) < total
+    gid = jnp.where(valid, gid, N)
+    gid_c = jnp.clip(gid, 0, N - 1)
 
-    slot = jnp.arange(entry_cap, dtype=jnp.int32) - offsets[gid_c]
-    w = jnp.maximum(rect_w[gid_c], 1)
-    tx = pre.rect_min[gid_c, 0] + slot % w
-    ty = pre.rect_min[gid_c, 1] + slot // w
+    # One packed row-gather instead of four scalar gathers — XLA lowers 1-D
+    # element gathers on TPU ~100× slower than row gathers of small matrices.
+    # Values all fit exactly in f32 (indices < 2^24).
+    binfo = jnp.stack([
+        offsets.astype(jnp.float32),
+        pre.rect_min[:, 0].astype(jnp.float32),
+        pre.rect_min[:, 1].astype(jnp.float32),
+        jnp.maximum(rect_w, 1).astype(jnp.float32),
+        pre.depths,
+        jnp.zeros_like(pre.depths), jnp.zeros_like(pre.depths),
+        jnp.zeros_like(pre.depths)], axis=1)            # (N, 8)
+    rows = binfo[gid_c]                                  # (E, 8)
+    off_e = rows[:, 0].astype(jnp.int32)
+    rmin_x = rows[:, 1].astype(jnp.int32)
+    rmin_y = rows[:, 2].astype(jnp.int32)
+    w = rows[:, 3].astype(jnp.int32)
+    depth_e = rows[:, 4]
+
+    slot = jnp.arange(entry_cap, dtype=jnp.int32) - off_e
+    tx = rmin_x + slot % w
+    ty = rmin_y + slot // w
     tile = ty * tiles_x + tx
     tile_key = jnp.where(valid, tile, T).astype(jnp.int32)
-    depth_key = jnp.where(valid, pre.depths[gid_c], jnp.inf)
+    depth_key = jnp.where(valid, depth_e, jnp.inf)
 
     tile_s, _, gid_s = jax.lax.sort(
         (tile_key, depth_key, gid.astype(jnp.int32)),
@@ -112,23 +156,44 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     last_tile = block_tile[jnp.maximum(total_blocks - 1, 0)]
     block_tile = jnp.where(block_valid == 1, block_tile, last_tile)
 
-    # Packed entry layout via the *inverse* map (gather, not scatter): output
-    # slot o lives in tile t = block_tile[o // BLOCK] at in-tile offset
-    # r = o - padded_start[t]; its source is sorted entry tile_start[t] + r.
-    out_t = block_tile[jnp.arange(E_cap, dtype=jnp.int32) // BLOCK]
-    r = jnp.arange(E_cap, dtype=jnp.int32) - padded_start[out_t]
-    src = tile_start[out_t] + r
-    slot_valid = ((r >= 0) & (r < tile_counts[out_t])
-                  & (jnp.arange(E_cap) < total_padded))
-    gauss_id = jnp.where(slot_valid,
-                         gid_s[jnp.clip(src, 0, entry_cap - 1)], -1)
+    # Packed entry layout via the *inverse* map (gather, not scatter): block
+    # b of the packed layout covers sorted entries
+    # [tile_start[t] + (b·BLOCK − padded_start[t]), +BLOCK) of its tile t —
+    # a *contiguous run*, so the whole permutation is one vmapped
+    # dynamic_slice per block (a 128-wide slice-gather; per-element gathers
+    # on TPU are two orders of magnitude slower).
+    tinfo = jnp.stack([tile_start, padded_start, tile_counts],
+                      axis=1)                                  # (T, 3)
+    brows = tinfo[block_tile]                                  # (B_cap, 3)
+    run_start = brows[:, 0] + (jnp.arange(B_cap, dtype=jnp.int32) * BLOCK
+                               - brows[:, 1])
+    gid_s_pad = jnp.concatenate(
+        [gid_s, jnp.full((BLOCK,), N, jnp.int32)])   # tail-safe slices
+    gid_runs = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            gid_s_pad, (jnp.clip(s, 0, entry_cap),), (BLOCK,)))(
+                run_start)                                     # (B_cap, BLOCK)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B_cap, BLOCK), 1)
+    in_count = lane + (jnp.arange(B_cap, dtype=jnp.int32) * BLOCK
+                       - brows[:, 1])[:, None]
+    run_valid = ((in_count >= 0) & (in_count < brows[:, 2][:, None])
+                 & (block_valid[:, None] == 1))
+    gauss_id = jnp.where(run_valid, gid_runs, -1).reshape(E_cap)
 
     # Gid-sorted view of the packed entries, for scatter-free per-Gaussian
     # reductions downstream (gradient accumulation, contribution flags).
+    # Segment boundaries come in closed form from the emission counts
+    # (searchsorted's internal per-round scalar gathers cost ~100ms at this
+    # scale): every emitted entry survives packing, truncated only by the
+    # capacity overflow at the emission tail.
     gid_key = jnp.where(gauss_id >= 0, gauss_id, N).astype(jnp.int32)
-    gid_sorted, by_gid_perm = jax.lax.sort(
+    _, by_gid_perm = jax.lax.sort(
         (gid_key, jnp.arange(E_cap, dtype=jnp.int32)),
         num_keys=1, is_stable=True)
+    counts_eff = jnp.clip(entry_cap - offsets, 0, counts)
+    gid_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts_eff).astype(jnp.int32)])
 
     return Binned(
         gauss_id=gauss_id,
@@ -138,5 +203,5 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         num_entries=total,
         overflow=overflow,
         by_gid_perm=by_gid_perm,
-        gid_sorted=gid_sorted,
+        gid_starts=gid_starts,
     )

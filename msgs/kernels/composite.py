@@ -170,10 +170,13 @@ def _fwd_kernel(bt_ref, bv_ref, payload_ref, out_ref, contrib_ref, *,
     def _():
         out_ref[0] = _init_state(tile_id, tiles_x, width, height)
 
-    # contrib columns are grouped 128 blocks per (128, 128) VMEM block; each
-    # grid step owns column b % 128 of block b // 128.
-    ccol = b % 128
-    contrib_ref[:, ccol] = jnp.zeros((BLOCK,), jnp.float32)
+    # contrib columns are grouped 128 blocks per (128, 128) VMEM block; the
+    # buffer is zeroed at each 128-step window and each step accumulates its
+    # column through a one-hot lane mask (Mosaic forbids dynamic lane-index
+    # stores).
+    @pl.when(b % 128 == 0)
+    def _():
+        contrib_ref[:, :] = jnp.zeros((BLOCK, 128), jnp.float32)
 
     done_all = jnp.min(out_ref[0, O_DONE, :]) > 0.5
 
@@ -187,7 +190,9 @@ def _fwd_kernel(bt_ref, bv_ref, payload_ref, out_ref, contrib_ref, *,
         out_ref[0, O_R:O_ACC + 1, :] += acc
         out_ref[0, O_T:O_T + 1, :] = t_new
         out_ref[0, O_DONE:O_DONE + 1, :] = done_new
-        contrib_ref[:, ccol] = jnp.max(w, axis=1)
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                  == b % 128).astype(jnp.float32)
+        contrib_ref[:, :] += jnp.max(w, axis=1, keepdims=True) * onehot
 
 
 def _bwd_kernel(bt_ref, bv_ref, payload_ref, res_ref, cot_ref, dpay_ref,
@@ -250,11 +255,11 @@ def _bwd_kernel(bt_ref, bv_ref, payload_ref, res_ref, cot_ref, dpay_ref,
         d_alpha = (t_i * phi - suffix / f) * alive * mask.astype(jnp.float32)
         unclamped = (alpha_raw < ALPHA_MAX).astype(jnp.float32)
         d_power = d_alpha * alpha * unclamped
+        d_op = jnp.sum(d_alpha * g * unclamped, axis=1)          # (BLOCK,)
+
         cxx = feat[:, F_CXX:F_CXX + 1]
         cxy = feat[:, F_CXY:F_CXY + 1]
         cyy = feat[:, F_CYY:F_CYY + 1]
-
-        d_op = jnp.sum(d_alpha * g * unclamped, axis=1)          # (BLOCK,)
         ddx = d_power * (-(cxx * dx + cxy * dy))
         ddy = d_power * (-(cyy * dy + cxy * dx))
         d_mx = -jnp.sum(ddx, axis=1)

@@ -54,26 +54,44 @@ def _resolve_backend(backend: str) -> str:
     return "pallas"
 
 
-def _segmented_sums(values, gid_sorted, n_gaussians: int):
+def _tri_cumsum(x):
+    """Inclusive prefix sum along axis 1 of (C, 128, F) via an MXU matmul
+    (XLA's cumsum lowering walks the axis; a triangular matmul doesn't)."""
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+           ).astype(jnp.float32)
+    return jnp.einsum("jk,cjf->ckf", tri, x,
+                      preferred_element_type=jnp.float32)
+
+
+def _segmented_sums(values, gid_starts, n_gaussians: int):
     """Per-Gaussian sums of gid-sorted per-entry values — scatter-free.
 
     TPU scatter-add serializes on colliding indices, so instead segment sums
-    come from a two-level prefix: intra-chunk cumsums over 128-entry chunks
-    (depth-7 scan) plus a cumsum over chunk totals, differenced at segment
-    boundaries found by binary search. Shallow compile graph (a single deep
-    associative_scan over millions of rows takes minutes to compile on the
-    TPU toolchain); signed-gradient prefixes keep cancellation error small.
+    come from a two-level MXU prefix (triangular-matmul cumsums over
+    128-entry chunks + a chunk-total prefix) differenced at the segment
+    boundaries `gid_starts`, which binning computes in closed form from the
+    emission counts (no searchsorted — its internal per-round scalar gathers
+    dominate at millions of entries). Signed-gradient prefixes keep
+    cancellation error small.
 
-    values: (E, F) sorted so equal gids are contiguous; gid_sorted: (E,)
-    with pad entries = n_gaussians (sorted last). Returns (N, F).
+    values: (E, F) sorted so equal gids are contiguous; gid_starts: (N+1,)
+    segment boundaries into that order. Returns (N, F).
     """
     E, F = values.shape
     CH = 128
     assert E % CH == 0, "entry capacity is block-aligned"
     v3 = values.reshape(E // CH, CH, F)
-    intra = jnp.cumsum(v3, axis=1)                 # (C, CH, F), depth-7
+    intra = _tri_cumsum(v3)                        # (C, CH, F)
     chunk_tot = intra[:, -1, :]                    # (C, F)
-    chunk_incl = jnp.cumsum(chunk_tot, axis=0)     # (C, F)
+    C = chunk_tot.shape[0]
+    # Chunk-level prefix, itself two-level when C is large.
+    pad_c = (-C) % CH
+    ct = jnp.pad(chunk_tot, ((0, pad_c), (0, 0))).reshape(-1, CH, F)
+    ct_intra = _tri_cumsum(ct)                     # (C2, CH, F)
+    ct_tot = ct_intra[:, -1, :]
+    ct_base = jnp.cumsum(ct_tot, axis=0) - ct_tot  # (C2, F) — small
+    chunk_incl = (ct_intra + ct_base[:, None, :]).reshape(-1, F)[:C]
     chunk_excl = chunk_incl - chunk_tot
     total = chunk_incl[-1]
 
@@ -87,39 +105,33 @@ def _segmented_sums(values, gid_sorted, n_gaussians: int):
         return jnp.where((pos >= E)[:, None], total[None, :],
                          base + intra_part)
 
-    starts = jnp.searchsorted(gid_sorted,
-                              jnp.arange(n_gaussians, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(gid_sorted,
-                            jnp.arange(1, n_gaussians + 1, dtype=jnp.int32),
-                            side="left").astype(jnp.int32)
-    return prefix_at(ends) - prefix_at(starts)
+    return prefix_at(gid_starts[1:]) - prefix_at(gid_starts[:-1])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _take_entry_rows(feats, idc, valid, by_gid_perm, gid_sorted):
+def _take_entry_rows(feats, idc, valid, by_gid_perm, gid_starts):
     """Differentiable per-entry row gather whose VJP is the scatter-free
     segmented reduction above (instead of XLA's serialized scatter-add)."""
     return jnp.where(valid[:, None], feats[idc], 0.0)
 
 
-def _take_fwd(feats, idc, valid, by_gid_perm, gid_sorted):
-    out = _take_entry_rows(feats, idc, valid, by_gid_perm, gid_sorted)
-    return out, (feats.shape[0], valid, by_gid_perm, gid_sorted)
+def _take_fwd(feats, idc, valid, by_gid_perm, gid_starts):
+    out = _take_entry_rows(feats, idc, valid, by_gid_perm, gid_starts)
+    return out, (feats.shape[0], valid, by_gid_perm, gid_starts)
 
 
 def _take_bwd(res, g):
-    n, valid, by_gid_perm, gid_sorted = res
+    n, valid, by_gid_perm, gid_starts = res
     g = jnp.where(valid[:, None], g, 0.0)
     g_sorted = g[by_gid_perm]
-    d_feats = _segmented_sums(g_sorted, gid_sorted, n)
+    d_feats = _segmented_sums(g_sorted, gid_starts, n)
 
     def _f0(shape):
         import numpy as _np
         return _np.zeros(shape, dtype=jax.dtypes.float0)
 
     return (d_feats, _f0(by_gid_perm.shape), _f0(valid.shape),
-            _f0(by_gid_perm.shape), _f0(gid_sorted.shape))
+            _f0(by_gid_perm.shape), _f0(gid_starts.shape))
 
 
 _take_entry_rows.defvjp(_take_fwd, _take_bwd)
@@ -164,7 +176,7 @@ def composite_pipeline(pre, width: int, height: int,
     valid = ids >= 0
     idc = jnp.maximum(ids, 0)
     entry_feat = _take_entry_rows(feats, idc, valid, binned.by_gid_perm,
-                                  binned.gid_sorted)
+                                  binned.gid_starts)
     entry_feat = entry_feat.at[:, comp.F_VALID].set(valid.astype(jnp.float32))
     payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT)
 
@@ -184,10 +196,13 @@ def composite_pipeline(pre, width: int, height: int,
     # Contribution flags: per-Gaussian OR over entries, via the gid-sorted
     # segmented reduction (sum of positive weights > 0) — no scatter-max.
     # contrib is (BLOCK, B_cap): entry e = b·BLOCK + l ↦ contrib[l, b].
+    # (1-D element gathers are ~100× slower than row gathers on TPU — widen
+    # the permutation to 8 lanes.)
     contrib_flat = jax.lax.stop_gradient(contrib).T.reshape(-1)
-    c_sorted = (contrib_flat[binned.by_gid_perm] > 0.0).astype(jnp.float32)
-    contributed_sum = _segmented_sums(c_sorted[:, None], binned.gid_sorted,
-                                      N)[:, 0]
+    c8 = jnp.broadcast_to(contrib_flat[:, None],
+                          (contrib_flat.shape[0], 8))
+    c_sorted = (c8[binned.by_gid_perm][:, :1] > 0.0).astype(jnp.float32)
+    contributed_sum = _segmented_sums(c_sorted, binned.gid_starts, N)[:, 0]
 
     return CompositeResult(
         image=full[..., comp.O_R:comp.O_B + 1],

@@ -116,6 +116,6 @@ def test_grads_cross_backend(camera, scene):
         scale = max(np.abs(a).max(), 1e-8)
         # 3e-5·max: the scatter-free segmented-sum VJP uses global prefix
         # differences whose rounding differs slightly between backends.
-        np.testing.assert_allclose(b, a, atol=3e-5 * scale + 1e-9,
+        np.testing.assert_allclose(b, a, atol=3e-5 * scale + 1e-6,
                                    err_msg=f"grad mismatch: {name}")
         assert np.abs(a).max() > 0, f"zero gradient for {name}"

@@ -21,12 +21,17 @@ def _mk(E=4096, N=300, seed=0):
     return ids_packed, valid, perm, ids
 
 
+def _starts_of(ids_sorted, N):
+    return np.searchsorted(ids_sorted, np.arange(N + 1)).astype(np.int32)
+
+
 def test_segmented_sums_match_bincount():
     rng = np.random.default_rng(1)
     E, N, F = 4096, 300, 5
     ids = np.sort(rng.integers(0, N, E)).astype(np.int32)
     vals = rng.normal(size=(E, F)).astype(np.float32)
-    out = np.asarray(_segmented_sums(jnp.asarray(vals), jnp.asarray(ids), N))
+    out = np.asarray(_segmented_sums(
+        jnp.asarray(vals), jnp.asarray(_starts_of(ids, N)), N))
     expect = np.zeros((N, F), np.float32)
     np.add.at(expect, ids, vals)
     np.testing.assert_allclose(out, expect, atol=2e-4)
@@ -41,11 +46,11 @@ def test_take_rows_vjp_matches_gather_autodiff():
 
     idc = jnp.asarray(np.minimum(ids_packed, N - 1))
     v = jnp.asarray(valid)
-    gid_sorted = jnp.asarray(ids_sorted)
+    gid_starts = jnp.asarray(_starts_of(ids_sorted, N))
     by_gid_perm = jnp.asarray(perm)
 
     def custom(f):
-        out = _take_entry_rows(f, idc, v, by_gid_perm, gid_sorted)
+        out = _take_entry_rows(f, idc, v, by_gid_perm, gid_starts)
         return jnp.sum(out * jnp.asarray(cot))
 
     def plain(f):
@@ -58,5 +63,5 @@ def test_take_rows_vjp_matches_gather_autodiff():
     # values agree too
     np.testing.assert_allclose(
         np.asarray(_take_entry_rows(jnp.asarray(feats), idc, v, by_gid_perm,
-                                    gid_sorted)),
+                                    gid_starts)),
         np.asarray(jnp.where(v[:, None], jnp.asarray(feats)[idc], 0.0)))
