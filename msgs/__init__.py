@@ -21,3 +21,12 @@ Layout (see SURVEY.md §7.1):
 """
 
 __version__ = "0.1.0"
+
+# TPU XLA defaults matmuls/convolutions to bf16 input precision, which
+# quantizes camera projections, covariance products, SH evaluation and the
+# SSIM window convolution (variance estimates go negative, SSIM exceeds 1).
+# Rendering and training need f32; ops where bf16 is exact (0/1 triangular
+# prefix matmuls) opt back in locally with Precision.DEFAULT.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

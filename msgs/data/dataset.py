@@ -198,10 +198,17 @@ def load_blender_scene(source_path: str, white_background: bool = False,
 
     train = read_split("train")
     test = read_split("test") if eval_split else []
-    rng = np.random.default_rng(0)
-    n_pts = 100_000
-    pts = (rng.random((n_pts, 3)).astype(np.float32) * 2.6 - 1.3)
-    cols = rng.random((n_pts, 3)).astype(np.float32)
+    init_npz = os.path.join(source_path, "init_points.npz")
+    if os.path.exists(init_npz):
+        # Synthetic scenes may ship an SfM-like init cloud.
+        data = np.load(init_npz)
+        pts = data["points"].astype(np.float32)
+        cols = data["colors"].astype(np.float32)
+    else:
+        rng = np.random.default_rng(0)
+        n_pts = 100_000
+        pts = (rng.random((n_pts, 3)).astype(np.float32) * 2.6 - 1.3)
+        cols = rng.random((n_pts, 3)).astype(np.float32)
     extent = _nerf_norm_radius(train)
     return SceneData(train, test, pts, cols, extent, source_path)
 

@@ -46,6 +46,9 @@ def _two_level_cumsum(x):
     tri = (jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
            ).astype(jnp.float32)
+    # Needs full f32 input precision: marker values reach the Gaussian count
+    # (dead rows stack their zero-count offsets), far beyond bf16's exact
+    # integer range. The global highest-precision default covers this.
     v = x.reshape(-1, CH)
     intra = jnp.einsum("jk,cj->ck", tri, v,
                        preferred_element_type=jnp.float32)
