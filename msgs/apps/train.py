@@ -58,6 +58,16 @@ def build_parser():
     p.add_argument("--backend", type=str, default="pallas")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--detect_anomaly", action="store_true",
+                   help="enable jax_debug_nans (reference --detect_anomaly)")
+    p.add_argument("--no_tensorboard", action="store_true")
+    p.add_argument("--ip", type=str, default="127.0.0.1",
+                   help="network GUI host (SIBR remote viewer)")
+    p.add_argument("--port", type=int, default=6009)
+    p.add_argument("--disable_gui", action="store_true")
+    p.add_argument("--profile_steps", type=str, default=None,
+                   help="START:END iteration range to capture a jax.profiler "
+                        "trace into <model_path>/profile/")
     return p
 
 
@@ -89,11 +99,30 @@ def training(args):
     op = extract_optim(args)
     random.seed(args.seed)
     np.random.seed(args.seed)
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
 
     os.makedirs(args.model_path, exist_ok=True)
     save_cfg(args.model_path, args)
     log_path = os.path.join(args.model_path, "train_log.jsonl")
     log_f = open(log_path, "a")
+
+    tb = None
+    if not args.no_tensorboard:
+        try:
+            from tensorboardX import SummaryWriter
+            tb = SummaryWriter(args.model_path)
+        except Exception:
+            print("tensorboardX unavailable; logging to JSONL only")
+
+    gui = None
+    if not args.disable_gui:
+        try:
+            from msgs.apps import network_gui
+            network_gui.init(args.ip, args.port)
+            gui = network_gui
+        except Exception as e:
+            print(f"network GUI disabled: {e}")
 
     print(f"Loading scene {args.source_path}")
     scene = load_scene(args.source_path, images_dir=args.images,
@@ -161,7 +190,31 @@ def training(args):
             return x
         return jtu.tree_map(pad, state)
 
+    def gui_render(cam, scale_mod):
+        out = L.eval_render(state, cam, cfg=cfg, settings=settings, bg=bg)
+        return out.image
+
+    profile_range = None
+    if args.profile_steps:
+        a, b = args.profile_steps.split(":")
+        profile_range = (int(a), int(b))
+
     for iteration in range(first_iter + 1, op.iterations + 1):
+        # jax.profiler trace window (reference's iter timing, upgraded).
+        if profile_range and iteration == profile_range[0]:
+            jax.profiler.start_trace(
+                os.path.join(args.model_path, "profile"))
+        if profile_range and iteration == profile_range[1]:
+            jax.block_until_ready(state.gaussians.xyz)
+            jax.profiler.stop_trace()
+            print(f"[profile] trace written to {args.model_path}/profile")
+        # Live-view pump (train.py:127-141).
+        if gui is not None and (gui.conn is not None or iteration % 50 == 1):
+            try:
+                gui.serve_step(gui_render, args.source_path, True)
+            except Exception:
+                pass
+
         # SH warmup every 1000 iters (train.py:147-149).
         if iteration % 1000 == 0:
             state = state._replace(gaussians=one_up_sh_degree(
@@ -189,6 +242,37 @@ def training(args):
             fade_size=args.fade_size,
             do_px_update=do_px, do_densify_stats=do_ds,
             ms_lr_active=iteration >= 1 and (args.multi_occ or args.multi_dc))
+
+        # Eval / save BEFORE structural ops — the reference runs
+        # training_report and scene.save ahead of densify/opacity-reset
+        # (train.py:230-236 vs 247-264), so snapshots never capture a
+        # just-reset model.
+        # Eval (training_report analog, train.py:446-551).
+        if iteration in args.test_iterations or (
+                args.test_interval > 0
+                and iteration % args.test_interval == 0):
+            report = evaluate_scales(state, scene, sched, cfg, settings,
+                                     args, bg, iteration)
+            log_f.write(json.dumps({"it": iteration, "eval": report}) + "\n")
+            log_f.flush()
+            if tb is not None:
+                for key, m in report.items():
+                    tb.add_scalar(f"eval/{key}/psnr", m["psnr"], iteration)
+                    tb.add_scalar(f"eval/{key}/l1", m["l1"], iteration)
+                    tb.add_scalar(f"eval/{key}/render_ms", m["render_ms"],
+                                  iteration)
+
+        if iteration in args.save_iterations:
+            out_dir = os.path.join(args.model_path,
+                                   f"point_cloud/iteration_{iteration}")
+            os.makedirs(out_dir, exist_ok=True)
+            save_ply_snapshot(os.path.join(out_dir, "point_cloud.ply"),
+                              state.gaussians)
+            print(f"[save] {out_dir}")
+
+        if iteration in args.checkpoint_iterations:
+            save_train_state(os.path.join(
+                args.model_path, f"chkpnt{iteration}.npz"), state)
 
         # Densification cadence (train.py:247-264).
         if iteration < op.densify_until_iter:
@@ -242,27 +326,24 @@ def training(args):
                     {"it": iteration, "loss": loss, "lvl": cur_lvl,
                      "live": n_live, "t": elapsed}) + "\n")
                 log_f.flush()
+                if tb is not None:
+                    tb.add_scalar("train_loss_patches/total_loss", loss,
+                                  iteration)
+                    tb.add_scalar("train/l1", float(metrics["l1"]), iteration)
+                    tb.add_scalar("total_points", n_live, iteration)
+                    tb.add_scalar("train/entries",
+                                  int(metrics["num_entries"]), iteration)
+            if tb is not None and iteration % 1000 == 0:
+                st_g = state.gaussians
+                live_np = np.asarray(st_g.live)
+                tb.add_histogram(
+                    "scene/opacity_histogram",
+                    np.asarray(st_g.act_opacity())[live_np], iteration)
+                px_live = np.asarray(st_g.max_pixel_sizes)[live_np]
+                if (px_live >= 0).any():
+                    tb.add_histogram("scene/max_pixel_sizes",
+                                     px_live[px_live >= 0], iteration)
 
-        # Eval (training_report analog, train.py:446-551).
-        if iteration in args.test_iterations or (
-                args.test_interval > 0
-                and iteration % args.test_interval == 0):
-            report = evaluate_scales(state, scene, sched, cfg, settings,
-                                     args, bg, iteration)
-            log_f.write(json.dumps({"it": iteration, "eval": report}) + "\n")
-            log_f.flush()
-
-        if iteration in args.save_iterations:
-            out_dir = os.path.join(args.model_path,
-                                   f"point_cloud/iteration_{iteration}")
-            os.makedirs(out_dir, exist_ok=True)
-            save_ply_snapshot(os.path.join(out_dir, "point_cloud.ply"),
-                              state.gaussians)
-            print(f"[save] {out_dir}")
-
-        if iteration in args.checkpoint_iterations:
-            save_train_state(os.path.join(
-                args.model_path, f"chkpnt{iteration}.npz"), state)
 
     log_f.close()
     return state
@@ -335,6 +416,10 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
             continue
         for lvl, scale in enumerate(sched.scales):
             l1s, psnrs, times = [], [], []
+            # Untimed warm-up so compile doesn't pollute render_ms.
+            L.eval_render(state, views[0].camera(scale), cfg=cfg,
+                          settings=settings, reso_lvl=lvl,
+                          bg=bg).image.block_until_ready()
             for view in views:
                 cam = view.camera(scale)
                 t0 = time.time()
