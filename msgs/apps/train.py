@@ -366,13 +366,17 @@ def run_insert_episode(state, scene, sched, target_lvl, cfg, settings,
     visible_l0 = jnp.zeros((C,), bool)
     min_px = jnp.full((C,), jnp.inf)
 
+    # Measurement renders run unfiltered: sub-pixel Gaussians must report
+    # their footprint to be selectable (filter_small would hide exactly the
+    # rows this episode exists to aggregate).
+    msettings = settings._replace(filter_small=False, filter_large=False)
     for view in scene.train_views:
         cam0 = view.camera(sched.scales[0])
-        out0 = L.eval_render(state, cam0, cfg=cfg, settings=settings,
+        out0 = L.eval_render(state, cam0, cfg=cfg, settings=msettings,
                              reso_lvl=0)
         visible_l0 = visible_l0 | out0.visible
         camt = view.camera(sched.scales[target_lvl])
-        outt = L.eval_render(state, camt, cfg=cfg, settings=settings,
+        outt = L.eval_render(state, camt, cfg=cfg, settings=msettings,
                              reso_lvl=target_lvl)
         px = jnp.where(outt.pixel_sizes > 0, outt.pixel_sizes, jnp.inf)
         min_px = jnp.minimum(min_px, px)

@@ -78,10 +78,15 @@ def _ewa_project(cov3d, means3d, world_view_t, tanfovx, tanfovy, focal_x, focal_
     M = jnp.stack([m0, m1], axis=1)
 
     cov2d = M @ cov3d @ jnp.swapaxes(M, 1, 2)       # (N, 2, 2)
-    cxx = cov2d[:, 0, 0] + LOWPASS
+    # Return both the raw and low-pass-dilated covariance: rendering uses the
+    # dilated one (the reference's +0.3 px anti-collapse filter), but the
+    # MS pixel-size statistic must come from the *undilated* footprint — the
+    # dilation floors 2·sqrt(λ) at ~1.1 px, which would make the sub-pixel
+    # tests of filter_small and insert-large selection unsatisfiable.
+    cxx0 = cov2d[:, 0, 0]
     cxy = cov2d[:, 0, 1]
-    cyy = cov2d[:, 1, 1] + LOWPASS
-    return cxx, cxy, cyy, t
+    cyy0 = cov2d[:, 1, 1]
+    return cxx0 + LOWPASS, cxy, cyy0 + LOWPASS, cxx0, cyy0, t
 
 
 def _fade01(x):
@@ -155,7 +160,7 @@ def preprocess(
 
     focal_x = W_img / (2.0 * camera.tanfovx)
     focal_y = H / (2.0 * camera.tanfovy)
-    cxx, cxy, cyy, t_view = _ewa_project(
+    cxx, cxy, cyy, cxx0, cyy0, t_view = _ewa_project(
         cov3d, means3d, camera.world_view, camera.tanfovx, camera.tanfovy,
         focal_x, focal_y)
     depths = t_view[:, 2]
@@ -169,7 +174,12 @@ def preprocess(
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
     lam_max = mid + disc
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
-    pixel_size = 2.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0))
+
+    # Footprint statistic from the undilated covariance (see _ewa_project).
+    det0 = cxx0 * cyy0 - cxy * cxy
+    mid0 = 0.5 * (cxx0 + cyy0)
+    disc0 = jnp.sqrt(jnp.maximum(mid0 * mid0 - det0, 0.0))
+    pixel_size = 2.0 * jnp.sqrt(jnp.maximum(mid0 + disc0, 0.0))
 
     # Tile rectangle (reference getRect semantics, 16×16 tiles).
     tiles_x = (W_img + TILE - 1) // TILE
