@@ -409,9 +409,10 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
     (training_report, train.py:446-551)."""
     import jax.numpy as jnp
 
-    from msgs.eval.metrics import l1_loss, psnr
+    from msgs.eval.metrics import l1_loss, psnr, ssim
     from msgs.train import loop as L
 
+    final = iteration >= getattr(args, "iterations", 10 ** 9)
     report = {}
     configs = [("test", scene.test_views),
                ("train", scene.train_views[:5])]
@@ -419,7 +420,7 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
         if not views:
             continue
         for lvl, scale in enumerate(sched.scales):
-            l1s, psnrs, times = [], [], []
+            l1s, psnrs, ssims, times = [], [], [], []
             # Untimed warm-up so compile doesn't pollute render_ms.
             L.eval_render(state, views[0].camera(scale), cfg=cfg,
                           settings=settings, reso_lvl=lvl,
@@ -435,12 +436,20 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
                 gt = jnp.asarray(view.image(scale))
                 l1s.append(float(l1_loss(img, gt)))
                 psnrs.append(float(psnr(img, gt)))
-            report[f"{split}_s{scale}"] = {
+                if final:
+                    # SSIM (+LPIPS when weights exist) at the final iteration
+                    # only, like the reference (train.py:456-461).
+                    ssims.append(float(ssim(img, gt)))
+            entry = {
                 "l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs)),
                 "render_ms": float(np.mean(times) * 1000)}
+            if ssims:
+                entry["ssim"] = float(np.mean(ssims))
+            report[f"{split}_s{scale}"] = entry
             print(f"[eval {iteration}] {split} x{scale}: "
                   f"psnr {np.mean(psnrs):.2f} l1 {np.mean(l1s):.4f} "
-                  f"{np.mean(times)*1000:.1f}ms")
+                  + (f"ssim {np.mean(ssims):.4f} " if ssims else "")
+                  + f"{np.mean(times)*1000:.1f}ms")
     return report
 
 

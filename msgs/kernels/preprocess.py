@@ -26,6 +26,7 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 N_APP_LEVELS = 4          # occ_multiplier / dc_delta level buckets (scales 2/4/8/16)
+LARGE_MIN = 2.0           # min-footprint record marking a row as an aggregate
 
 
 class PreprocessOut(NamedTuple):
@@ -222,9 +223,19 @@ def preprocess(
         op = op * w_small
         visible = visible & (w_small > 0)
     if filter_large and min_pixel_sizes is not None:
+        # Retire aggregate-like rows at finer resolutions than they were
+        # built for: a Gaussian whose smallest-ever recorded footprint is
+        # ≥ LARGE_MIN px never renders finely anywhere it belongs (inserted
+        # aggregates are constructed to cover ≳2 px at their target level),
+        # so once its current footprint exceeds 2× that record it is being
+        # rendered at the wrong level. Ordinary Gaussians record sub-2 px
+        # minima at coarse renders and are never affected; large base-level
+        # Gaussians (walls/floors, visible at the coarsest scale) can
+        # legitimately carry big minima and are exempted via base_mask
+        # (preserve_large, train.py:239-241).
         exempt = base_mask if base_mask is not None else jnp.zeros((N,), bool)
-        applies = (~exempt) & (min_pixel_sizes >= 0.0)
-        thresh = 2.0 * jnp.maximum(min_pixel_sizes, 1.0)
+        applies = (~exempt) & (min_pixel_sizes >= LARGE_MIN)
+        thresh = 2.0 * min_pixel_sizes
         w_large = jnp.where(applies, _fade01((thresh - pixel_size + fade_size) / fade), 1.0)
         op = op * w_large
         visible = visible & (w_large > 0)

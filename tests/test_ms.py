@@ -79,20 +79,26 @@ def test_filter_large_retires_aggregates_at_fine_reso():
     cfg, st, cam, settings = _setup(filter_large=True)
     out0 = L.eval_render(L.init_train_state(st), cam, cfg=cfg,
                          settings=settings)
-    big = np.asarray(out0.pixel_sizes) > 2.0
+    big = np.asarray(out0.pixel_sizes) > 5.0
     assert big.sum() > 0
-    # Pretend every Gaussian was built for min footprint 1 px: any now
-    # rendering > 2·max(1,1)=2 px must be excluded...
-    st2 = st._replace(min_pixel_sizes=jnp.full((128,), 1.0))
+    # Mark every Gaussian as an aggregate built for ~2.5 px: rows now
+    # rendering > 2·2.5 = 5 px are being drawn finer than built for...
+    st2 = st._replace(min_pixel_sizes=jnp.full((128,), 2.5))
     out1 = L.eval_render(L.init_train_state(st2), cam, cfg=cfg,
                          settings=settings)
     vis1 = np.asarray(out1.pixel_sizes) > 0
     assert not np.any(vis1 & big)
-    # ...unless protected by base_mask.
+    # ...unless protected by base_mask (preserve_large).
     st3 = st2._replace(base_mask=jnp.ones((128,), bool))
     out2 = L.eval_render(L.init_train_state(st3), cam, cfg=cfg,
                          settings=settings)
     assert int((np.asarray(out2.pixel_sizes) > 0).sum()) == \
+        int((np.asarray(out0.pixel_sizes) > 0).sum())
+    # Ordinary rows (small recorded minima) are untouched.
+    st4 = st._replace(min_pixel_sizes=jnp.full((128,), 0.5))
+    out3 = L.eval_render(L.init_train_state(st4), cam, cfg=cfg,
+                         settings=settings)
+    assert int((np.asarray(out3.pixel_sizes) > 0).sum()) == \
         int((np.asarray(out0.pixel_sizes) > 0).sum())
 
 
