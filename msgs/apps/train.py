@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import random
 import sys
@@ -37,6 +38,9 @@ def build_parser():
     p.add_argument("-r", dest="resolution_short", type=int, default=None)
     p.add_argument("--ms_train", action="store_true")
     p.add_argument("--ms_train_max_scale", type=int, default=7)
+    p.add_argument("--ms_test_scales", nargs="+", type=float, default=None,
+                   help="override eval scales (e.g. 1 3 6 12 24 48 96 for "
+                        "the interp-scale ablations, train_all.py:114)")
     p.add_argument("--filter_small", action="store_true")
     p.add_argument("--prune_small", action="store_true")
     p.add_argument("--preserve_large", action="store_true")
@@ -327,8 +331,9 @@ def training(args):
                      "live": n_live, "t": elapsed}) + "\n")
                 log_f.flush()
                 if tb is not None:
-                    tb.add_scalar("train_loss_patches/total_loss", loss,
-                                  iteration)
+                    if np.isfinite(loss):
+                        tb.add_scalar("train_loss_patches/total_loss",
+                                      loss, iteration)
                     tb.add_scalar("train/l1", float(metrics["l1"]), iteration)
                     tb.add_scalar("total_points", n_live, iteration)
                     tb.add_scalar("train/entries",
@@ -413,13 +418,18 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
     from msgs.train import loop as L
 
     final = iteration >= getattr(args, "iterations", 10 ** 9)
+    # Eval scales may differ from train scales (ms_test_scales, train.py:52-56);
+    # the appearance-bucket level for an arbitrary scale is its log2 round.
+    eval_scales = getattr(args, "ms_test_scales", None) or sched.scales
     report = {}
     configs = [("test", scene.test_views),
                ("train", scene.train_views[:5])]
     for split, views in configs:
         if not views:
             continue
-        for lvl, scale in enumerate(sched.scales):
+        for scale in eval_scales:
+            lvl = min(max(int(round(math.log2(max(scale, 1)))), 0),
+                      sched.reso_lvls - 1)
             l1s, psnrs, ssims, times = [], [], [], []
             # Untimed warm-up so compile doesn't pollute render_ms.
             L.eval_render(state, views[0].camera(scale), cfg=cfg,

@@ -62,7 +62,8 @@ def render_interactive(args):
             backend=args.backend, entry_cap=args.entry_cap,
             filter_small=args.anti_alias, filter_large=args.anti_alias)
         out = L.eval_render(state, cam, cfg=cfg, settings=settings,
-                            fade_size=fade_size)
+                            fade_size=fade_size,
+                            scale_modifier=round(gs_scale, 2))
         img = np.clip(np.asarray(out.image), 0, 1)
         acc = np.asarray(out.acc_pixel_size)
         acc = acc / max(acc.max(), 1e-6)

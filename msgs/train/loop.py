@@ -175,9 +175,12 @@ def insert_large_step(state: TrainState, mask, cur_min_pixel_sizes, lvl, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "settings", "reso_lvl", "fade_size"))
+    jax.jit, static_argnames=("cfg", "settings", "reso_lvl", "fade_size",
+                              "scale_modifier"))
 def eval_render(state: TrainState, camera, *, cfg: GaussianConfig,
                 settings: RasterSettings, reso_lvl: int = 0,
-                fade_size: float = 0.0, bg=None) -> RenderOutput:
+                fade_size: float = 0.0, bg=None,
+                scale_modifier: float = 1.0) -> RenderOutput:
     return render_state(state.gaussians, camera, cfg, settings, bg=bg,
-                        reso_lvl=reso_lvl, fade_size=fade_size)
+                        reso_lvl=reso_lvl, fade_size=fade_size,
+                        scale_modifier=scale_modifier)
