@@ -26,7 +26,6 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 N_APP_LEVELS = 4          # occ_multiplier / dc_delta level buckets (scales 2/4/8/16)
-LARGE_MIN = 2.0           # min-footprint record marking a row as an aggregate
 
 
 class PreprocessOut(NamedTuple):
@@ -217,24 +216,24 @@ def preprocess(
         op = op * occ_multiplier[:, bucket]
 
     fade = jnp.maximum(fade_size, 1e-6)
-    if filter_small and max_pixel_sizes is not None:
-        applies = max_pixel_sizes >= 1.0
-        w_small = jnp.where(applies, _fade01((pixel_size - 1.0 + fade_size) / fade), 1.0)
+    if filter_small:
+        # Sub-pixel splats are the aliasing source — fade them out below
+        # 1 px of (undilated) footprint; fade_size widens the hard cutoff
+        # into a linear ramp (MS-GS paper; viewer anti_alias uses fade 1.0).
+        w_small = _fade01((pixel_size - 1.0 + fade_size) / fade)
         op = op * w_small
         visible = visible & (w_small > 0)
     if filter_large and min_pixel_sizes is not None:
-        # Retire aggregate-like rows at finer resolutions than they were
-        # built for: a Gaussian whose smallest-ever recorded footprint is
-        # ≥ LARGE_MIN px never renders finely anywhere it belongs (inserted
-        # aggregates are constructed to cover ≳2 px at their target level),
-        # so once its current footprint exceeds 2× that record it is being
-        # rendered at the wrong level. Ordinary Gaussians record sub-2 px
-        # minima at coarse renders and are never affected; large base-level
-        # Gaussians (walls/floors, visible at the coarsest scale) can
-        # legitimately carry big minima and are exempted via base_mask
-        # (preserve_large, train.py:239-241).
+        # Retire rows rendered at resolutions much finer than their home
+        # level: min_pixel_sizes records a row's footprint *at its own
+        # target level* (per-level stat masking, gaussian_model.py:664), so
+        # a current footprint beyond 2× that record means the render is ≥2
+        # levels finer than the row was built for — true for inserted
+        # aggregates at fine scales, never for level-0 rows (whose home is
+        # the finest level). base_mask rows are exempt (preserve_large,
+        # train.py:239-241).
         exempt = base_mask if base_mask is not None else jnp.zeros((N,), bool)
-        applies = (~exempt) & (min_pixel_sizes >= LARGE_MIN)
+        applies = (~exempt) & (min_pixel_sizes >= 0.0)
         thresh = 2.0 * min_pixel_sizes
         w_large = jnp.where(applies, _fade01((thresh - pixel_size + fade_size) / fade), 1.0)
         op = op * w_large

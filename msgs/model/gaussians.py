@@ -365,11 +365,15 @@ def reset_opacity(st: GaussianState) -> Tuple[GaussianState, jnp.ndarray]:
 
 def update_pixel_sizes(st: GaussianState, pixel_sizes, lvl,
                        reso_lvls: int) -> GaussianState:
-    """Running screen-footprint extrema (gaussian_model.py:663-686):
-    max side decays ×0.95 then max-in (renders at lvl>0 only);
-    min side inflates ×1.05 then min-in (renders at lvl<L−1 only), with
-    uninitialized (−1) rows adopting the first observed value."""
-    seen = (pixel_sizes > 0) & st.live
+    """Running screen-footprint extrema (gaussian_model.py:663-686).
+
+    Crucially, stats update only for Gaussians whose *own* target level is
+    the rendered level (the reference's mask at line 664): the records mean
+    "this row's footprint at its home resolution", not a cross-scale extreme.
+    Max side decays ×0.95 then max-in (renders at lvl>0 only); min side
+    inflates ×1.05 then min-in (renders at lvl<L−1 only); uninitialized (−1)
+    rows adopt the first observed value."""
+    seen = (pixel_sizes > 0) & st.live & (st.target_reso_lvl == lvl)
     upd_max = seen & (lvl > 0)
     decayed = jnp.where(st.max_pixel_sizes >= 0,
                         st.max_pixel_sizes * 0.95, st.max_pixel_sizes)

@@ -83,20 +83,28 @@ def test_reset_opacity_only_lvl0():
 def test_pixel_size_stats_rules():
     st = make_state(8)
     px = jnp.full((CFG.capacity,), 4.0)
-    # lvl 0 render: max NOT updated (lvl>0 only), min updated (lvl<L-1)
+    # Stats are per-home-level (gaussian_model.py:664): a lvl-0 row updates
+    # only at lvl-0 renders, and only its min side (max needs lvl > 0).
     st1 = G.update_pixel_sizes(st, px, 0, CFG.reso_lvls)
     assert float(st1.max_pixel_sizes[0]) == -1.0
     assert float(st1.min_pixel_sizes[0]) == 4.0
-    # lvl 1: max adopts; min shrinks with inflation rule
+    # A lvl-1 render does not touch lvl-0 rows at all.
     st2 = G.update_pixel_sizes(st1, jnp.full((CFG.capacity,), 2.0), 1,
                                CFG.reso_lvls)
-    assert float(st2.max_pixel_sizes[0]) == 2.0
-    np.testing.assert_allclose(float(st2.min_pixel_sizes[0]), 2.0, rtol=1e-6)
-    # decay: bigger recorded max decays 0.95 then maxes
-    st3 = G.update_pixel_sizes(st2, jnp.full((CFG.capacity,), 1.0), 1,
+    assert float(st2.max_pixel_sizes[0]) == -1.0
+    assert float(st2.min_pixel_sizes[0]) == 4.0
+    # Rows homed at level 1 update max and min at lvl-1 renders, with the
+    # 0.95 decay / 1.05 inflation freshness rules.
+    st3 = st1._replace(target_reso_lvl=st1.target_reso_lvl.at[:].set(1))
+    st4 = G.update_pixel_sizes(st3, jnp.full((CFG.capacity,), 2.0), 1,
                                CFG.reso_lvls)
-    np.testing.assert_allclose(float(st3.max_pixel_sizes[0]), 2.0 * 0.95,
+    assert float(st4.max_pixel_sizes[0]) == 2.0
+    np.testing.assert_allclose(float(st4.min_pixel_sizes[0]), 2.0, rtol=1e-6)
+    st5 = G.update_pixel_sizes(st4, jnp.full((CFG.capacity,), 1.0), 1,
+                               CFG.reso_lvls)
+    np.testing.assert_allclose(float(st5.max_pixel_sizes[0]), 2.0 * 0.95,
                                rtol=1e-6)
+    np.testing.assert_allclose(float(st5.min_pixel_sizes[0]), 1.0, rtol=1e-6)
 
 
 def test_insert_large_voxel_means():

@@ -60,18 +60,20 @@ def _setup(filter_small=False, filter_large=False):
     return cfg, st, cam, settings
 
 
-def test_filter_small_drops_subpixel_resolved_gaussians():
-    cfg, st, cam, settings = _setup(filter_small=True)
-    # Render without stats: nothing filtered (max_pixel_sizes = -1).
+def test_filter_small_drops_subpixel_gaussians():
+    cfg, st, cam, settings0 = _setup(filter_small=False)
+    # Shrink some rows well below one pixel of footprint.
+    st = st._replace(scaling=st.scaling.at[:20].add(-3.0))
     out0 = L.eval_render(L.init_train_state(st), cam, cfg=cfg,
-                         settings=settings)
+                         settings=settings0)
     n0 = int((out0.pixel_sizes > 0).sum())
-    # Mark all as well-resolved (max >= 1): any with current p < 1 now fade.
-    st2 = st._replace(max_pixel_sizes=jnp.full((128,), 8.0))
-    out1 = L.eval_render(L.init_train_state(st2), cam, cfg=cfg,
-                         settings=settings)
-    n1 = int((out1.pixel_sizes > 0).sum())
     subpix = int(((out0.pixel_sizes > 0) & (out0.pixel_sizes < 1.0)).sum())
+    assert subpix > 0  # scene includes sub-pixel splats
+
+    settings1 = settings0._replace(filter_small=True)
+    out1 = L.eval_render(L.init_train_state(st), cam, cfg=cfg,
+                         settings=settings1)
+    n1 = int((out1.pixel_sizes > 0).sum())
     assert n1 == n0 - subpix
 
 
@@ -94,8 +96,9 @@ def test_filter_large_retires_aggregates_at_fine_reso():
                          settings=settings)
     assert int((np.asarray(out2.pixel_sizes) > 0).sum()) == \
         int((np.asarray(out0.pixel_sizes) > 0).sum())
-    # Ordinary rows (small recorded minima) are untouched.
-    st4 = st._replace(min_pixel_sizes=jnp.full((128,), 0.5))
+    # Ordinary rows (min record ≈ their current home-level footprint, as the
+    # per-level stat updates produce) are untouched: p is never > 2·p.
+    st4 = st._replace(min_pixel_sizes=jnp.asarray(out0.pixel_sizes))
     out3 = L.eval_render(L.init_train_state(st4), cam, cfg=cfg,
                          settings=settings)
     assert int((np.asarray(out3.pixel_sizes) > 0).sum()) == \
@@ -126,8 +129,10 @@ def test_ms_training_with_insert_smoke():
         assert np.isfinite(float(m["loss"]))
 
     st = state.gaussians
+    # Per-home-level stats: lvl-0 rows record min at lvl-0 renders; max
+    # stays uninitialized until coarse-level aggregates exist.
     assert np.any(np.asarray(st.min_pixel_sizes) >= 0)
-    assert np.any(np.asarray(st.max_pixel_sizes) >= 0)
+    assert not np.any(np.asarray(st.max_pixel_sizes) >= 0)
 
     # Insert episode at level 2.
     out2 = L.eval_render(state, cams[2], cfg=cfg, settings=settings,
