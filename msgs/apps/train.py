@@ -80,6 +80,10 @@ def next_pow2(x: int) -> int:
 
 
 def training(args):
+    import faulthandler
+    import signal
+    faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> → stack dump
+
     import jax
     import jax.numpy as jnp
 
