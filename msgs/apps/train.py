@@ -172,7 +172,12 @@ def training(args):
     if args.start_checkpoint:
         state = load_train_state(args.start_checkpoint, state)
         first_iter = int(state.iteration)
-        print(f"Resumed from {args.start_checkpoint} at {first_iter}")
+        # Capacity may have grown before the checkpoint was written.
+        actual_cap = int(state.gaussians.xyz.shape[0])
+        if actual_cap != cfg.capacity:
+            cfg = cfg._replace(capacity=actual_cap)
+        print(f"Resumed from {args.start_checkpoint} at {first_iter} "
+              f"(capacity {actual_cap})")
 
     key = jax.random.PRNGKey(args.seed)
     bg = jnp.ones((3,)) if args.white_background else jnp.zeros((3,))
