@@ -318,10 +318,14 @@ def densify_and_prune(st: GaussianState, key, *, grad_threshold: float,
         prune_mask = prune_mask | (lvl0 & (big_screen | big_world))
     st = prune(st, prune_mask & st.live)
 
-    # Clear level-0 accumulators (densification_postfix, 520-524).
+    # Clear level-0 accumulators and reset ALL max screen radii
+    # (densification_postfix, gaussian_model.py:520-526 — max_radii2D only
+    # ever accumulates between densify calls; without the reset the >20 px
+    # screen-size prune eventually fires on the whole scene).
     st = st._replace(
         xyz_grad_accum=st.xyz_grad_accum.at[:, 0].set(0.0),
         denom=st.denom.at[:, 0].set(0.0),
+        max_radii2d=jnp.zeros_like(st.max_radii2d),
     )
     return st, touched_c | touched_s
 
@@ -348,6 +352,7 @@ def grow_large_gaussians(st: GaussianState, lvl, *, grad_threshold: float,
         min_pixel_sizes=st.min_pixel_sizes.at[dst].set(-1.0, mode="drop"),
         xyz_grad_accum=st.xyz_grad_accum.at[:, lvl].set(0.0),
         denom=st.denom.at[:, lvl].set(0.0),
+        max_radii2d=jnp.zeros_like(st.max_radii2d),
     )
     touched = jnp.zeros_like(st.live).at[dst].set(True, mode="drop")
     return st, touched

@@ -104,7 +104,7 @@ def insert_large_gaussians(st: GaussianState, mask: jnp.ndarray,
         min_pixel_sizes=st.min_pixel_sizes.at[dst].set(-1.0, mode="drop"),
         base_mask=st.base_mask.at[dst].set(False, mode="drop"),
         target_reso_lvl=st.target_reso_lvl.at[dst].set(lvl_i, mode="drop"),
-        max_radii2d=st.max_radii2d.at[dst].set(0.0, mode="drop"),
+        max_radii2d=jnp.zeros_like(st.max_radii2d),  # postfix resets all
         xyz_grad_accum=st.xyz_grad_accum.at[dst].set(0.0, mode="drop"),
         denom=st.denom.at[dst].set(0.0, mode="drop"),
         live=st.live.at[dst].set(True, mode="drop"),
