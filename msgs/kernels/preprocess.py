@@ -176,10 +176,12 @@ def preprocess(
     radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam_max, 0.0)))
 
     # Footprint statistic from the undilated covariance (see _ewa_project).
+    # Positive floors keep sqrt gradients finite at degenerate/dead rows
+    # (d√x at 0 is ∞, and 0·∞ = NaN through the zero cotangents).
     det0 = cxx0 * cyy0 - cxy * cxy
     mid0 = 0.5 * (cxx0 + cyy0)
-    disc0 = jnp.sqrt(jnp.maximum(mid0 * mid0 - det0, 0.0))
-    pixel_size = 2.0 * jnp.sqrt(jnp.maximum(mid0 + disc0, 0.0))
+    disc0 = jnp.sqrt(jnp.maximum(mid0 * mid0 - det0, 1e-8))
+    pixel_size = 2.0 * jnp.sqrt(jnp.maximum(mid0 + disc0, 1e-8))
 
     # Tile rectangle (reference getRect semantics, 16×16 tiles).
     tiles_x = (W_img + TILE - 1) // TILE
