@@ -46,18 +46,21 @@ def _two_level_cumsum(x):
     tri = (jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
            <= jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
            ).astype(jnp.float32)
-    # Needs full f32 input precision: marker values reach the Gaussian count
-    # (dead rows stack their zero-count offsets), far beyond bf16's exact
-    # integer range. The global highest-precision default covers this.
+    # Marker values reach the Gaussian count (dead rows stack their
+    # zero-count offsets), beyond single-bf16 exact range — Precision.HIGH
+    # (bf16_3x: inputs split exactly into three bf16 terms) keeps the sums
+    # f32-exact at half the cost of the 6-pass HIGHEST default.
     v = x.reshape(-1, CH)
     intra = jnp.einsum("jk,cj->ck", tri, v,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGH)
     tot = intra[:, -1]
     C = tot.shape[0]
     pad = (-C) % CH
     t2 = jnp.pad(tot, (0, pad)).reshape(-1, CH)
     t_intra = jnp.einsum("jk,cj->ck", tri, t2,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGH)
     t_tot = t_intra[:, -1]
     t_base = jnp.cumsum(t_tot) - t_tot
     chunk_incl = (t_intra + t_base[:, None]).reshape(-1)[:C]

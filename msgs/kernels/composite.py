@@ -103,11 +103,24 @@ def _tri_lower():
 
 
 def _cumsum_entries(x):
-    """Inclusive prefix sum along axis 0 (entries) via MXU matmul — Mosaic
-    has no cumsum lowering."""
-    return jax.lax.dot_general(
-        _tri_lower(), x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    """Inclusive prefix sum along axis 0 (entries) via MXU matmuls — Mosaic
+    has no cumsum lowering, and only DEFAULT/HIGHEST dot precisions.
+
+    Single-pass MXU matmuls round inputs to bf16; the triangular side is 0/1
+    (bf16-exact), so splitting x into three bf16 terms recovers full f32
+    fidelity in 3 passes (vs 6 for HIGHEST)."""
+    tri = _tri_lower()
+
+    def dot(a):
+        return jax.lax.dot_general(
+            tri, a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    x0 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - x0
+    x1 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    x2 = r - x1
+    return dot(x0) + dot(x1) + dot(x2)
 
 
 def _prefix_products(alpha, t_in):
@@ -133,10 +146,11 @@ def _block_forward(feat, px, py, t_in, done):
     alive = (t_after >= T_EPS).astype(jnp.float32) * (1.0 - done)
     w = alpha * t_in * cum_excl * alive            # (BLOCK, NPIX)
 
-    acc_feats = feat[:, F_R:F_PSIZE + 1]           # (BLOCK, 5)
-    acc = jax.lax.dot_general(
-        acc_feats, w, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (5, NPIX)
+    # Feature accumulation as exact-f32 VPU broadcast-reduces (5 features:
+    # cheaper than precision-preserving MXU passes at this tiny contraction).
+    acc = jnp.stack([
+        jnp.sum(feat[:, F_R + i:F_R + i + 1] * w, axis=0)
+        for i in range(5)], axis=0)                # (5, NPIX)
 
     t_new = jnp.min(jnp.where(alive > 0.0, t_after, t_in), axis=0,
                     keepdims=True)
@@ -235,10 +249,9 @@ def _bwd_kernel(bt_ref, bv_ref, payload_ref, res_ref, cot_ref, dpay_ref,
         g_a = cot[O_ACC:O_ACC + 1, :]
         g_t = cot[O_T:O_T + 1, :]
 
-        colors = feat[:, F_R:F_B + 1]               # (BLOCK, 3)
-        phi = jax.lax.dot_general(
-            colors, g_c, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)     # (BLOCK, NPIX)
+        phi = (feat[:, F_R:F_R + 1] * g_c[0:1, :]
+               + feat[:, F_G:F_G + 1] * g_c[1:2, :]
+               + feat[:, F_B:F_B + 1] * g_c[2:3, :])  # (BLOCK, NPIX)
         phi = phi + feat[:, F_DEPTH:F_DEPTH + 1] * g_d
         phi = phi + feat[:, F_PSIZE:F_PSIZE + 1] * g_a
 
@@ -268,9 +281,9 @@ def _bwd_kernel(bt_ref, bv_ref, payload_ref, res_ref, cot_ref, dpay_ref,
         d_cxy = jnp.sum(d_power * (-dx * dy), axis=1)
         d_cyy = jnp.sum(d_power * (-0.5 * dy * dy), axis=1)
 
-        d_colors = jax.lax.dot_general(
-            w, g_c, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)     # (BLOCK, 3)
+        d_colors = jnp.stack([
+            jnp.sum(w * g_c[i:i + 1, :], axis=1) for i in range(3)],
+            axis=1)                                 # (BLOCK, 3)
         d_depth = jnp.sum(w * g_d, axis=1)
         d_psize = jnp.sum(w * g_a, axis=1)
 

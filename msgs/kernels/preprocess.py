@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from msgs.core.camera import Camera
 from msgs.core.sh import eval_sh
-from msgs.core.transforms import build_covariance_3d, sym6_to_cov3d
+
 
 TILE = 16
 NEAR_CULL = 0.2           # view-space z culling threshold (reference CUDA: 0.2)
@@ -26,6 +26,34 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_EPS = 1e-4
 N_APP_LEVELS = 4          # occ_multiplier / dc_delta level buckets (scales 2/4/8/16)
+
+
+def _build_cov6(scales, quats, modifier):
+    """Packed symmetric 3-D covariance (xx, xy, xz, yy, yz, zz) from scales
+    and quaternions, componentwise (see _ewa_project's precision note).
+    Matches build_covariance_from_scaling_rotation (gaussian_model.py:32-37,
+    general_utils.py:78-110): Σ = R diag((m·s)²) Rᵀ."""
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s0 = (modifier * scales[:, 0]) ** 2
+    s1 = (modifier * scales[:, 1]) ** 2
+    s2 = (modifier * scales[:, 2]) ** 2
+    sxx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    sxy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    sxz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    syy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    syz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    szz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return jnp.stack([sxx, sxy, sxz, syy, syz, szz], axis=1)
 
 
 class PreprocessOut(NamedTuple):
@@ -41,11 +69,17 @@ class PreprocessOut(NamedTuple):
     visible: jnp.ndarray      # (N,)  bool — survives culling + MS selection
 
 
-def _ewa_project(cov3d, means3d, world_view_t, tanfovx, tanfovy, focal_x, focal_y):
+def _ewa_project(cov6, means3d, world_view_t, tanfovx, tanfovy, focal_x, focal_y):
     """EWA splatting: project 3D covariance to screen-space 2D covariance.
 
     world_view_t is the transposed world→view matrix (row-vector convention),
-    so the view rotation is world_view_t[:3, :3].T.
+    so the view rotation is world_view_t[:3, :3].T. cov6 is the packed
+    symmetric 3-D covariance (xx, xy, xz, yy, yz, zz).
+
+    Written componentwise ((N,) vector arithmetic, no batched 3×3 matmuls):
+    under the f32-precision default, XLA's tiny-batched matmuls run 6-pass
+    on the MXU and dominated the preprocess fwd+bwd cost; elementwise VPU
+    math is exact f32 and an order of magnitude cheaper here.
 
     Rows with view-space z below the near-cull plane get a safe unit depth:
     they are culled downstream, but without the guard their 1/z produces
@@ -72,20 +106,33 @@ def _ewa_project(cov3d, means3d, world_view_t, tanfovx, tanfovy, focal_x, focal_
     j11 = focal_y * inv_z
     j12 = -focal_y * tyz * inv_z2
 
-    # M = J @ W : (N, 2, 3)
-    m0 = j00[:, None] * W[0] + j02[:, None] * W[2]
-    m1 = j11[:, None] * W[1] + j12[:, None] * W[2]
-    M = jnp.stack([m0, m1], axis=1)
+    # M = J @ W, rows m0/m1 as per-component (N,) vectors.
+    m00 = j00 * W[0, 0] + j02 * W[2, 0]
+    m01 = j00 * W[0, 1] + j02 * W[2, 1]
+    m02 = j00 * W[0, 2] + j02 * W[2, 2]
+    m10 = j11 * W[1, 0] + j12 * W[2, 0]
+    m11 = j11 * W[1, 1] + j12 * W[2, 1]
+    m12 = j11 * W[1, 2] + j12 * W[2, 2]
 
-    cov2d = M @ cov3d @ jnp.swapaxes(M, 1, 2)       # (N, 2, 2)
+    sxx, sxy, sxz, syy, syz, szz = (cov6[:, 0], cov6[:, 1], cov6[:, 2],
+                                    cov6[:, 3], cov6[:, 4], cov6[:, 5])
+
+    # cov2d = M Σ Mᵀ, expanded: first v_i = Σ · m_i.
+    v0x = sxx * m00 + sxy * m01 + sxz * m02
+    v0y = sxy * m00 + syy * m01 + syz * m02
+    v0z = sxz * m00 + syz * m01 + szz * m02
+    v1x = sxx * m10 + sxy * m11 + sxz * m12
+    v1y = sxy * m10 + syy * m11 + syz * m12
+    v1z = sxz * m10 + syz * m11 + szz * m12
+    cxx0 = m00 * v0x + m01 * v0y + m02 * v0z
+    cxy = m00 * v1x + m01 * v1y + m02 * v1z
+    cyy0 = m10 * v1x + m11 * v1y + m12 * v1z
+
     # Return both the raw and low-pass-dilated covariance: rendering uses the
     # dilated one (the reference's +0.3 px anti-collapse filter), but the
     # MS pixel-size statistic must come from the *undilated* footprint — the
     # dilation floors 2·sqrt(λ) at ~1.1 px, which would make the sub-pixel
     # tests of filter_small and insert-large selection unsatisfiable.
-    cxx0 = cov2d[:, 0, 0]
-    cxy = cov2d[:, 0, 1]
-    cyy0 = cov2d[:, 1, 1]
     return cxx0 + LOWPASS, cxy, cyy0 + LOWPASS, cxx0, cyy0, t
 
 
@@ -138,9 +185,9 @@ def preprocess(
     H, W_img = camera.height, camera.width
 
     if cov3d_precomp is not None:
-        cov3d = sym6_to_cov3d(cov3d_precomp)
+        cov6 = cov3d_precomp
     else:
-        cov3d = build_covariance_3d(scales, quats, scale_modifier)
+        cov6 = _build_cov6(scales, quats, scale_modifier)
 
     # Projection (row-vector convention: p_row @ M_T).
     hom = jnp.concatenate([means3d, jnp.ones((N, 1), means3d.dtype)], axis=1)
@@ -161,7 +208,7 @@ def preprocess(
     focal_x = W_img / (2.0 * camera.tanfovx)
     focal_y = H / (2.0 * camera.tanfovy)
     cxx, cxy, cyy, cxx0, cyy0, t_view = _ewa_project(
-        cov3d, means3d, camera.world_view, camera.tanfovx, camera.tanfovy,
+        cov6, means3d, camera.world_view, camera.tanfovx, camera.tanfovy,
         focal_x, focal_y)
     depths = t_view[:, 2]
 

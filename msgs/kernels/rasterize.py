@@ -61,7 +61,8 @@ def _tri_cumsum(x):
            <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
            ).astype(jnp.float32)
     return jnp.einsum("jk,cjf->ckf", tri, x,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGH)
 
 
 def _segmented_sums(values, gid_starts, n_gaussians: int):
