@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument("--grow_large", action="store_true")
     p.add_argument("--insert_large", action="store_true")
     p.add_argument("--fade_size", type=float, default=0.0)
+    p.add_argument("--ms_from_iter", type=int, default=1,
+                   help="iteration from which MS sampling and occ/dc LRs "
+                        "activate (reference train.py:62,153,197-198)")
     p.add_argument("--test_iterations", nargs="+", type=int,
                    default=[7000, 30000])
     p.add_argument("--test_interval", type=int, default=5000)
@@ -144,6 +147,7 @@ def training(args):
                        if args.ms_train else 0,
                        ms_train=args.ms_train,
                        insert_large=args.insert_large,
+                       ms_from_iter=args.ms_from_iter,
                        rng=random.Random(args.seed))
     filter_large = args.grow_large or args.insert_large
 
@@ -188,20 +192,30 @@ def training(args):
     ema_loss = 0.0
     spatial_lr = float(extent)
     t_start = time.time()
+    pending_overflow = None   # previous step's overflow scalar (async check)
 
     def grow_capacity(state, new_cap):
         import jax.tree_util as jtu
-        print(f"[capacity] growing {cfg.capacity} -> {new_cap}")
+        old_cap = cfg.capacity
+        print(f"[capacity] growing {old_cap} -> {new_cap}")
 
         def pad(x):
-            if hasattr(x, "ndim") and x.ndim >= 1 and \
-                    x.shape[0] == cfg.capacity:
-                pad_width = [(0, new_cap - cfg.capacity)] + \
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == old_cap:
+                pad_width = [(0, new_cap - old_cap)] + \
                     [(0, 0)] * (x.ndim - 1)
-                fill = -1.0 if False else 0
                 return jnp.pad(x, pad_width)
             return x
-        return jtu.tree_map(pad, state)
+        state = jtu.tree_map(pad, state)
+        # New rows are live=False and overwritten on allocation, but keep the
+        # pads self-consistent anyway: pixel-size stats use −1 as the
+        # "uninitialized" sentinel and quaternions must stay normalizable.
+        g = state.gaussians
+        g = g._replace(
+            max_pixel_sizes=g.max_pixel_sizes.at[old_cap:].set(-1.0),
+            min_pixel_sizes=g.min_pixel_sizes.at[old_cap:].set(-1.0),
+            rotation=g.rotation.at[old_cap:, 0].set(1.0),
+        )
+        return state._replace(gaussians=g)
 
     def gui_render(cam, scale_mod):
         out = L.eval_render(state, cam, cfg=cfg, settings=settings, bg=bg)
@@ -243,9 +257,23 @@ def training(args):
         cam = view.camera(scale)
         gt = jnp.asarray(view.image(scale))
 
+        # Previous step's overflow, checked one step delayed so the host
+        # never stalls on an in-flight step. Safe because an overflowing
+        # train_step discards its own updates inside the jit — the only loss
+        # is the (≤1) skipped step, never training on a truncated render.
+        if pending_overflow is not None and int(pending_overflow) > 0:
+            new_cap = next_pow2(settings.entry_cap + int(pending_overflow))
+            print(f"[entry_cap] overflow {int(pending_overflow)}; growing "
+                  f"{settings.entry_cap} -> {new_cap}")
+            settings = settings._replace(entry_cap=new_cap)
+
         do_px = iteration >= 250 and (last_reset is None
                                       or iteration - last_reset > 250)
         do_ds = iteration < op.densify_until_iter
+        # preserve_large: base_mask accumulates coarsest-level visibility
+        # once densification is over (reference train.py:239-241).
+        do_bm = (args.preserve_large and iteration > op.densify_until_iter
+                 and cur_lvl == sched.reso_lvls - 1)
 
         state, metrics = L.train_step(
             state, cam, gt,
@@ -253,8 +281,10 @@ def training(args):
             spatial_lr_scale=spatial_lr, lambda_dssim=op.lambda_dssim,
             loss_mult=loss_weight(cur_lvl) if args.ms_train else 1.0,
             fade_size=args.fade_size,
-            do_px_update=do_px, do_densify_stats=do_ds,
-            ms_lr_active=iteration >= 1 and (args.multi_occ or args.multi_dc))
+            do_px_update=do_px, do_densify_stats=do_ds, do_base_mask=do_bm,
+            ms_lr_active=(iteration >= args.ms_from_iter
+                          and (args.multi_occ or args.multi_dc)))
+        pending_overflow = metrics["overflow"]
 
         # Eval / save BEFORE structural ops — the reference runs
         # training_report and scene.save ahead of densify/opacity-reset
@@ -319,12 +349,6 @@ def training(args):
             loss = float(metrics["loss"])
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             n_live = int(metrics["num_live"])
-            overflow = int(metrics["overflow"])
-            if overflow > 0:
-                new_cap = next_pow2(settings.entry_cap + overflow)
-                print(f"[entry_cap] overflow {overflow}; growing "
-                      f"{settings.entry_cap} -> {new_cap}")
-                settings = settings._replace(entry_cap=new_cap)
             # Grow Gaussian capacity when >90% full.
             if n_live > 0.9 * cfg.capacity:
                 new_cap = cfg.capacity * 2
@@ -392,7 +416,13 @@ def run_insert_episode(state, scene, sched, target_lvl, cfg, settings,
         camt = view.camera(sched.scales[target_lvl])
         outt = L.eval_render(state, camt, cfg=cfg, settings=msettings,
                              reso_lvl=target_lvl)
-        px = jnp.where(outt.pixel_sizes > 0, outt.pixel_sizes, jnp.inf)
+        # A view contributes its pixel size only where the *same view's*
+        # level-0 render saw the Gaussian (reference insert episode:
+        # pixel_sizes>0 AND base_vis_filter_list[i], train.py:288-314) —
+        # a row invisible at level 0 in this view must not feed the
+        # selection statistic from it.
+        px = jnp.where((outt.pixel_sizes > 0) & out0.visible,
+                       outt.pixel_sizes, jnp.inf)
         min_px = jnp.minimum(min_px, px)
 
     st = state.gaussians

@@ -197,7 +197,15 @@ def load_blender_scene(source_path: str, white_background: bool = False,
         return out
 
     train = read_split("train")
-    test = read_split("test") if eval_split else []
+    test = read_split("test")
+    if not eval_split:
+        # With eval off the reference folds the test frames into the train
+        # set (dataset_readers.py:252-254) — they are extra training views,
+        # not withheld.
+        import dataclasses
+        for v in test:
+            train.append(dataclasses.replace(v, uid=len(train)))
+        test = []
     init_npz = os.path.join(source_path, "init_points.npz")
     if os.path.exists(init_npz):
         # Synthetic scenes may ship an SfM-like init cloud.

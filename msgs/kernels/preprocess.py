@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from msgs.core.camera import Camera
@@ -264,12 +265,32 @@ def preprocess(
         bucket = min(max(int(reso_lvl) - 1, 0), N_APP_LEVELS - 1)
         op = op * occ_multiplier[:, bucket]
 
-    fade = jnp.maximum(fade_size, 1e-6)
+    def _fade_weight(arg_num):
+        """Fade weight for a signed margin: linear ramp over `fade_size`
+        pixels, or — at fade_size=0 — a *stop-gradient* hard step (a 1e-6-wide
+        ramp would hand any row landing inside the window a 1e6-slope opacity
+        gradient for one step)."""
+        if fade_size <= 0.0:
+            return jax.lax.stop_gradient(
+                (arg_num >= 0.0).astype(jnp.float32))
+        return _fade01(arg_num / fade_size)
+
     if filter_small:
         # Sub-pixel splats are the aliasing source — fade them out below
         # 1 px of (undilated) footprint; fade_size widens the hard cutoff
         # into a linear ramp (MS-GS paper; viewer anti_alias uses fade 1.0).
-        w_small = _fade01((pixel_size - 1.0 + fade_size) / fade)
+        # The fade is gated on the *recorded* max_pixel_sizes ≥ 1 (the row is
+        # known to be well-resolved at a finer level, so a coarse substitute
+        # exists — gaussian_renderer/__init__.py:50,98 passes the recorded
+        # stats into the kernel for exactly this test); rows never resolved
+        # anywhere (record −1 or sub-pixel) keep rendering so genuinely fine
+        # detail is not suppressed at its only usable scale.
+        if max_pixel_sizes is not None:
+            applies = max_pixel_sizes >= 1.0
+        else:
+            applies = jnp.zeros((N,), bool)
+        w_small = jnp.where(
+            applies, _fade_weight(pixel_size - 1.0 + fade_size), 1.0)
         op = op * w_small
         visible = visible & (w_small > 0)
     if filter_large and min_pixel_sizes is not None:
@@ -284,7 +305,8 @@ def preprocess(
         exempt = base_mask if base_mask is not None else jnp.zeros((N,), bool)
         applies = (~exempt) & (min_pixel_sizes >= 0.0)
         thresh = 2.0 * min_pixel_sizes
-        w_large = jnp.where(applies, _fade01((thresh - pixel_size + fade_size) / fade), 1.0)
+        w_large = jnp.where(
+            applies, _fade_weight(thresh - pixel_size + fade_size), 1.0)
         op = op * w_large
         visible = visible & (w_large > 0)
 

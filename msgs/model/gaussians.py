@@ -315,8 +315,12 @@ def densify_and_prune(st: GaussianState, key, *, grad_threshold: float,
     if max_screen_size > 0:
         big_screen = st.max_radii2d > max_screen_size
         big_world = jnp.max(st.act_scales(), axis=1) > 0.1 * scene_extent
-        prune_mask = prune_mask | (lvl0 & (big_screen | big_world))
-    st = prune(st, prune_mask & st.live)
+        prune_mask = prune_mask | big_screen | big_world
+    # The whole prune — the opacity term included — applies to level-0 rows
+    # only ("do not prune gaussians from other lvls at all",
+    # gaussian_model.py:616-621): inserted coarse aggregates are created at
+    # pooled/half opacity and must not be deleted here.
+    st = prune(st, prune_mask & lvl0 & st.live)
 
     # Clear level-0 accumulators and reset ALL max screen radii
     # (densification_postfix, gaussian_model.py:520-526 — max_radii2D only
@@ -348,8 +352,16 @@ def grow_large_gaussians(st: GaussianState, lvl, *, grad_threshold: float,
         opacity=st.opacity.at[dst].set(half_op[:, None], mode="drop"),
         target_reso_lvl=st.target_reso_lvl.at[dst].set(
             jnp.full((C,), lvl, jnp.int32), mode="drop"),
-        max_pixel_sizes=st.max_pixel_sizes.at[dst].set(-1.0, mode="drop"),
-        min_pixel_sizes=st.min_pixel_sizes.at[dst].set(-1.0, mode="drop"),
+        # Seed the grown rows' footprint records at the parent's ×2 (the 2×
+        # scale doubles the screen extent — reference grow_large_gaussians
+        # initializes new_max/min_pixel_sizes = parent*2); a −1 reset would
+        # leave filter_large inapplicable until stats re-accumulate.
+        max_pixel_sizes=st.max_pixel_sizes.at[dst].set(
+            jnp.where(st.max_pixel_sizes >= 0,
+                      st.max_pixel_sizes * 2.0, -1.0), mode="drop"),
+        min_pixel_sizes=st.min_pixel_sizes.at[dst].set(
+            jnp.where(st.min_pixel_sizes >= 0,
+                      st.min_pixel_sizes * 2.0, -1.0), mode="drop"),
         xyz_grad_accum=st.xyz_grad_accum.at[:, lvl].set(0.0),
         denom=st.denom.at[:, lvl].set(0.0),
         max_radii2d=jnp.zeros_like(st.max_radii2d),

@@ -33,6 +33,9 @@ class MsSchedule:
     ms_train: bool = False
     insert_large: bool = False
     base_iter: int = 1000
+    # Iteration at which multi-scale sampling (and the occ/dc LRs) kick in
+    # (reference train.py:62,153,197 — default 1 = from the start).
+    ms_from_iter: int = 1
     rng: random.Random = field(default_factory=lambda: random.Random(0))
 
     def __post_init__(self):
@@ -83,7 +86,7 @@ class MsSchedule:
         """75% finest; else uniform over unlocked, preferring least-trained
         when insert_large; all levels when plain ms_train (train.py:151-194).
         Called when the viewpoint stack refills (once per level-epoch)."""
-        if not self.ms_train:
+        if not self.ms_train or iteration < self.ms_from_iter:
             return 0
         if self.rng.random() < 0.75:
             return 0

@@ -76,7 +76,7 @@ def train_step(state: TrainState, camera, gt_image, *,
                spatial_lr_scale: float, lambda_dssim: float = 0.2,
                loss_mult: float = 1.0, fade_size: float = 0.0,
                do_px_update=True, do_densify_stats=True,
-               ms_lr_active=False):
+               do_base_mask=False, ms_lr_active=False):
     """One optimization step at a fixed resolution level.
 
     Mirrors the reference hot loop body (train.py:196-250): render, weighted
@@ -114,6 +114,23 @@ def train_step(state: TrainState, camera, gt_image, *,
     ds = jnp.asarray(do_densify_stats)
     st = G.update_max_radii(st, out.radii, vis & ds)
     st = G.add_densification_stats(st, probe_grad * ds, vis & ds, reso_lvl)
+
+    # preserve_large: record coarsest-level visibility into base_mask
+    # (reference train.py:239-241 — the host passes do_base_mask=True iff
+    # --preserve_large, past densify_until, at the coarsest level).
+    st = G.update_base_mask(st, vis & jnp.asarray(do_base_mask))
+
+    # Overflow safety: a step whose binning truncated entries rendered (and
+    # differentiated) a wrong image — discard every update it produced so the
+    # host can grow entry_cap and never trains on a truncated render. The
+    # iteration counter still advances (the host loop drives it).
+    ok = out.overflow == 0
+
+    def keep(new, old):
+        return jnp.where(ok, new, old)
+
+    st = jax.tree_util.tree_map(keep, st, state.gaussians)
+    new_adam = jax.tree_util.tree_map(keep, new_adam, state.adam)
 
     new_state = TrainState(gaussians=st, adam=new_adam,
                            iteration=state.iteration + 1)
