@@ -2,18 +2,36 @@
 block-aligned entry streams for the Pallas compositor.
 
 This replaces the reference rasterizer's prefix-sum + 64-bit-key radix sort
-binning stage (SURVEY.md §2.3 step 2) with an XLA-native design:
+binning stage (SURVEY.md §2.3 step 2) with an XLA-native design built around
+ONE fused-key sort:
 
-  1. per-Gaussian touched-tile counts → exclusive cumsum offsets,
-  2. static-capacity duplication via `jnp.repeat(..., total_repeat_length)`,
-  3. one stable `lax.sort` on (tile_id, depth) keys,
-  4. per-tile segments re-packed so every tile's entry list is padded to a
-     multiple of BLOCK (=128) entries — each 128-entry block then belongs to
-     exactly one tile, so the compositor streams *contiguous* blocks with a
-     flat 1-D grid and per-entry outputs are written race-free.
+  1. per-Gaussian touched-tile counts → exclusive cumsum offsets; Gaussians
+     whose emission range crosses `entry_cap` are dropped whole (clean
+     truncation — never a partially-binned Gaussian),
+  2. per-tile entry counts via a corner-scatter 2-D difference histogram over
+     the tile grid (4 scatter-adds of N rect corners + 2-D prefix sums — no
+     sort, no per-entry pass),
+  3. *pre-sort dummy injection*: each tile t gets (−count_t mod 128) dummy
+     entries keyed to sort at the end of t's segment, so every tile's sorted
+     segment is already a whole number of 128-entry blocks,
+  4. one stable single-key sort over [entries ; dummies] with the 31-bit
+     fused key `tile << depth_bits | quantized_depth` carrying the Gaussian
+     id — the output IS the packed, tile-aligned, depth-ordered entry
+     stream. No post-sort permutation, no per-tile re-packing.
+
+Depth is quantized to (31 − ceil_log2(T+1)) bits for the key (18 bits at
+1080p); ties keep emission order via the stable sort. Both compositor
+backends consume the same stream, so kernel-vs-oracle parity is unaffected.
 
 All shapes are static (given `entry_cap`); overflow beyond capacity is
 reported via `overflow` so the host can grow capacity and re-jit.
+
+Performance note (measured on TPU v5e, 2M entries): XLA's sort is a fast
+radix sort (~3 ms/payload-carrying sort) and row gathers from *small*
+(N-row) tables are ~5 ms, while row gathers/scatters with entry-sized
+(E-row) source tables cost 45-65 ms — the design avoids every E-row-table
+gather. `vmap(lax.dynamic_slice)` must never be used: one execution
+permanently degrades all subsequent device ops ~100× on this stack.
 """
 from __future__ import annotations
 
@@ -28,51 +46,23 @@ BLOCK = 128  # entries per compositor block (TPU lane width)
 
 
 class Binned(NamedTuple):
-    gauss_id: jnp.ndarray      # (E_cap,) int32 — Gaussian per entry, -1 = pad
+    gauss_id: jnp.ndarray      # (E_cap,) int32 — Gaussian per packed entry,
+                               #   N = sentinel (dummy / null / truncated)
     block_tile: jnp.ndarray    # (B_cap,) int32 — owning tile per block
     block_valid: jnp.ndarray   # (B_cap,) int32 — 1 if block holds real entries
     tile_nonempty: jnp.ndarray # (T,) bool — tile has ≥1 entry
-    num_entries: jnp.ndarray   # () int32 — duplicated entries (pre-padding)
+    tile_last_block: jnp.ndarray # (T,) int32 — index of the tile's last block
+    num_entries: jnp.ndarray   # () int32 — duplicated entries (pre-truncation)
     overflow: jnp.ndarray      # () int32 — entries dropped due to capacity
-    by_gid_perm: jnp.ndarray   # (E_cap,) int32 — packed→gid-sorted permutation
-    gid_starts: jnp.ndarray    # (N+1,) int32 — segment starts in that order
-
-
-def _two_level_cumsum(x):
-    """Inclusive prefix sum of a (E,) f32 vector via triangular MXU matmuls
-    (E multiple of 128; exact for values < 2^24)."""
-    CH = 128
-    E = x.shape[0]
-    tri = (jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 0)
-           <= jax.lax.broadcasted_iota(jnp.int32, (CH, CH), 1)
-           ).astype(jnp.float32)
-    # Marker values reach the Gaussian count (dead rows stack their
-    # zero-count offsets), beyond single-bf16 exact range — Precision.HIGH
-    # (bf16_3x: inputs split exactly into three bf16 terms) keeps the sums
-    # f32-exact at half the cost of the 6-pass HIGHEST default.
-    v = x.reshape(-1, CH)
-    intra = jnp.einsum("jk,cj->ck", tri, v,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGH)
-    tot = intra[:, -1]
-    C = tot.shape[0]
-    pad = (-C) % CH
-    t2 = jnp.pad(tot, (0, pad)).reshape(-1, CH)
-    t_intra = jnp.einsum("jk,cj->ck", tri, t2,
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGH)
-    t_tot = t_intra[:, -1]
-    t_base = jnp.cumsum(t_tot) - t_tot
-    chunk_incl = (t_intra + t_base[:, None]).reshape(-1)[:C]
-    chunk_excl = chunk_incl - tot
-    return (intra + chunk_excl[:, None]).reshape(E)
+    gid_starts: jnp.ndarray    # (N+1,) int32 — per-Gaussian segment starts in
+                               #   gid-sorted order (for the VJP reduction)
 
 
 def entry_capacity(entry_cap: int, tiles: int) -> int:
-    """Total packed-entry capacity: duplicates + worst-case per-tile padding,
-    rounded to 128 blocks (the compositor's per-entry contrib output is
-    column-major (BLOCK, B_cap) with (128, 128) VMEM blocks — Mosaic needs a
-    128-divisible trailing block dim)."""
+    """Total packed-entry capacity: duplicates + worst-case per-tile padding
+    (≤ BLOCK−1 dummies per tile), rounded to 128 blocks (the compositor's
+    per-entry contrib output is column-major (BLOCK, B_cap) with (128, 128)
+    VMEM blocks — Mosaic needs a 128-divisible trailing block dim)."""
     cap = entry_cap + BLOCK * tiles + BLOCK
     group = 128 * BLOCK
     return ((cap + group - 1) // group) * group
@@ -80,6 +70,25 @@ def entry_capacity(entry_cap: int, tiles: int) -> int:
 
 def block_capacity(entry_cap: int, tiles: int) -> int:
     return entry_capacity(entry_cap, tiles) // BLOCK
+
+
+def _depth_bits(tiles: int) -> int:
+    """Fused-key split: key = tile << db | depth_q, with the null sentinel
+    INT32_MAX reserved. db = 31 − bits(tiles)."""
+    tb = max(int(tiles + 1).bit_length(), 1)
+    db = 31 - tb
+    assert db >= 8, f"too many tiles ({tiles}) for a 31-bit fused sort key"
+    return db
+
+
+def _marker_cumsum(offsets, counts, length: int):
+    """gid per slot: slot s ∈ [offsets[g], offsets[g]+counts[g]) ↦ g, via a
+    marker scatter + cumsum (values < 2^24, exact in f32). Gaussians with
+    count 0 scatter their marker onto the next live Gaussian's start slot —
+    the cumsum then skips them in one step."""
+    markers = jnp.zeros((length + 1,), jnp.float32).at[offsets].add(
+        1.0, mode="drop")[:length]
+    return (jnp.cumsum(markers) - 1.0).astype(jnp.int32)
 
 
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
@@ -90,6 +99,9 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     N = pre.depths.shape[0]
     E_cap = entry_capacity(entry_cap, T)
     B_cap = E_cap // BLOCK
+    pad_cap = E_cap - entry_cap
+    db = _depth_bits(T)
+    NULL_KEY = jnp.int32(2**31 - 1)
 
     rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 0)
     rect_h = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 0)
@@ -97,117 +109,106 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1]
     overflow = jnp.maximum(total - entry_cap, 0)
+    # Clean truncation: a Gaussian whose emission range crosses entry_cap is
+    # dropped whole, so tile counts / padding / segment boundaries all stay
+    # consistent under overflow (the step is discarded and retried anyway).
+    kept = counts * (offsets + counts <= entry_cap)
 
-    # Duplicate: entry e belongs to Gaussian gid[e]; a sentinel id N absorbs
-    # the unused capacity tail. Computed as a marker scatter + two-level MXU
-    # cumsum — jnp.repeat's internal searchsorted pays ~20 ms of per-round
-    # scalar gathers at millions of entries.
-    markers = jnp.zeros((entry_cap + 1,), jnp.float32).at[offsets].add(
-        1.0, mode="drop")[:entry_cap]
-    gid_f = _two_level_cumsum(markers) - 1.0
-    gid = gid_f.astype(jnp.int32)
-    valid = jnp.arange(entry_cap, dtype=jnp.int32) < total
-    gid = jnp.where(valid, gid, N)
+    # --- per-tile entry counts: corner-scatter 2-D difference histogram ---
+    live = kept > 0
+    # Out-of-range corners are dropped (mode="drop") for dead rows.
+    y0 = jnp.where(live, pre.rect_min[:, 1], tiles_y + 1)
+    y1 = jnp.where(live, pre.rect_max[:, 1], tiles_y + 1)
+    x0 = pre.rect_min[:, 0]
+    x1 = pre.rect_max[:, 0]
+    diff = jnp.zeros((tiles_y + 2, tiles_x + 2), jnp.float32)
+    diff = (diff.at[y0, x0].add(1.0, mode="drop")
+                .at[y0, x1].add(-1.0, mode="drop")
+                .at[y1, x0].add(-1.0, mode="drop")
+                .at[y1, x1].add(1.0, mode="drop"))
+    cover = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:tiles_y, :tiles_x]
+    tcounts = cover.reshape(T)                       # (T,) f32, exact ints
+    padded = jnp.ceil(tcounts / BLOCK) * BLOCK
+    n_dummy = (padded - tcounts).astype(jnp.int32)   # (T,) in [0, 128)
+    padded_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    total_padded = (padded_start[-1] + padded[-1].astype(jnp.int32))
+
+    # --- emission stream: gid, tile, quantized depth, fused key ---
+    gid = _marker_cumsum(offsets, counts, entry_cap)
     gid_c = jnp.clip(gid, 0, N - 1)
-
-    # One packed row-gather instead of four scalar gathers — XLA lowers 1-D
-    # element gathers on TPU ~100× slower than row gathers of small matrices.
-    # Values all fit exactly in f32 (indices < 2^24).
+    # One packed row-gather from the small (N, 8) table (fast — see header).
     binfo = jnp.stack([
         offsets.astype(jnp.float32),
         pre.rect_min[:, 0].astype(jnp.float32),
         pre.rect_min[:, 1].astype(jnp.float32),
         jnp.maximum(rect_w, 1).astype(jnp.float32),
         pre.depths,
-        jnp.zeros_like(pre.depths), jnp.zeros_like(pre.depths),
-        jnp.zeros_like(pre.depths)], axis=1)            # (N, 8)
-    rows = binfo[gid_c]                                  # (E, 8)
+        kept.astype(jnp.float32),
+        jnp.zeros_like(pre.depths), jnp.zeros_like(pre.depths)], axis=1)
+    rows = binfo[gid_c]                              # (entry_cap, 8)
     off_e = rows[:, 0].astype(jnp.int32)
     rmin_x = rows[:, 1].astype(jnp.int32)
     rmin_y = rows[:, 2].astype(jnp.int32)
-    w = rows[:, 3].astype(jnp.int32)
+    w_e = rows[:, 3].astype(jnp.int32)
     depth_e = rows[:, 4]
+    kept_e = rows[:, 5].astype(jnp.int32)
 
     slot = jnp.arange(entry_cap, dtype=jnp.int32) - off_e
-    tx = rmin_x + slot % w
-    ty = rmin_y + slot // w
-    tile = ty * tiles_x + tx
-    tile_key = jnp.where(valid, tile, T).astype(jnp.int32)
-    depth_key = jnp.where(valid, depth_e, jnp.inf)
+    valid = slot < kept_e                            # truncated rows: kept=0
+    tx = rmin_x + slot % w_e
+    ty = rmin_y + slot // w_e
+    tile_e = ty * tiles_x + tx
 
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile_key, depth_key, gid.astype(jnp.int32)),
-        num_keys=2, is_stable=True)
+    # Depth → db bits against the visible depth range (stop-grad structure).
+    dmin = jnp.min(jnp.where(pre.visible, pre.depths, jnp.inf))
+    dmax = jnp.max(jnp.where(pre.visible, pre.depths, -jnp.inf))
+    dspan = jnp.maximum(dmax - dmin, 1e-9)
+    dq_max = jnp.int32((1 << db) - 1)
+    dq = jnp.clip((depth_e - dmin) / dspan * (2.0**db - 1.0),
+                  0.0, 2.0**db - 1.0).astype(jnp.int32)
+    key_e = jnp.where(valid, tile_e * (1 << db) + jnp.minimum(dq, dq_max),
+                      NULL_KEY)
+    gid_e = jnp.where(valid, gid, N)
 
-    # Per-tile segment boundaries from the *sorted* tile keys — searchsorted
-    # instead of segment_sum: TPU scatters serialize, binary search doesn't.
-    bounds = jnp.searchsorted(tile_s, jnp.arange(T + 1, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
-    tile_start = bounds[:T]
-    tile_counts = bounds[1:] - bounds[:T]
-    padded_counts = ((tile_counts + BLOCK - 1) // BLOCK) * BLOCK
-    padded_start = jnp.cumsum(padded_counts) - padded_counts    # (T,)
-    total_padded = padded_start[-1] + padded_counts[-1]
+    # --- dummy stream: n_dummy[t] entries keyed to the end of tile t ---
+    d_off = (jnp.cumsum(n_dummy) - n_dummy).astype(jnp.int32)
+    total_d = d_off[-1] + n_dummy[-1]
+    tile_d = _marker_cumsum(d_off, n_dummy, pad_cap)
+    dvalid = jnp.arange(pad_cap, dtype=jnp.int32) < total_d
+    # Stable sort + concat order keeps dummies after real entries of the
+    # same (tile, max depth) key.
+    key_d = jnp.where(dvalid, jnp.clip(tile_d, 0, T - 1) * (1 << db) + dq_max,
+                      NULL_KEY)
 
-    # Block → tile ownership: padded ranges tile [0, total_padded)
-    # contiguously, so each block's owner is a binary search over starts.
-    # Unused-capacity blocks alias the last nonempty tile (harmless rewrite
-    # target for the compositor's output pipeline).
-    block_idx = jnp.arange(B_cap, dtype=jnp.int32)
-    block_tile = (jnp.searchsorted(padded_start, block_idx * BLOCK,
-                                   side="right") - 1).astype(jnp.int32)
-    block_tile = jnp.clip(block_tile, 0, T - 1)
-    total_blocks = total_padded // BLOCK
-    block_valid = (block_idx < total_blocks).astype(jnp.int32)
-    last_tile = block_tile[jnp.maximum(total_blocks - 1, 0)]
-    block_tile = jnp.where(block_valid == 1, block_tile, last_tile)
+    keys = jnp.concatenate([key_e, key_d])
+    gids = jnp.concatenate([gid_e, jnp.full((pad_cap,), N, jnp.int32)])
+    keys_s, gauss_id = jax.lax.sort((keys, gids), num_keys=1, is_stable=True)
 
-    # Packed entry layout via the *inverse* map (gather, not scatter): block
-    # b of the packed layout covers sorted entries
-    # [tile_start[t] + (b·BLOCK − padded_start[t]), +BLOCK) of its tile t —
-    # a *contiguous run*, so the whole permutation is one vmapped
-    # dynamic_slice per block (a 128-wide slice-gather; per-element gathers
-    # on TPU are two orders of magnitude slower).
-    tinfo = jnp.stack([tile_start, padded_start, tile_counts],
-                      axis=1)                                  # (T, 3)
-    brows = tinfo[block_tile]                                  # (B_cap, 3)
-    run_start = brows[:, 0] + (jnp.arange(B_cap, dtype=jnp.int32) * BLOCK
-                               - brows[:, 1])
-    gid_s_pad = jnp.concatenate(
-        [gid_s, jnp.full((BLOCK,), N, jnp.int32)])   # tail-safe slices
-    gid_runs = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(
-            gid_s_pad, (jnp.clip(s, 0, entry_cap),), (BLOCK,)))(
-                run_start)                                     # (B_cap, BLOCK)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B_cap, BLOCK), 1)
-    in_count = lane + (jnp.arange(B_cap, dtype=jnp.int32) * BLOCK
-                       - brows[:, 1])[:, None]
-    run_valid = ((in_count >= 0) & (in_count < brows[:, 2][:, None])
-                 & (block_valid[:, None] == 1))
-    gauss_id = jnp.where(run_valid, gid_runs, -1).reshape(E_cap)
+    # --- block structure straight from the sorted keys ---
+    first_key = keys_s[jnp.arange(B_cap, dtype=jnp.int32) * BLOCK]
+    raw_tile = first_key // (1 << db)
+    block_valid = (first_key != NULL_KEY).astype(jnp.int32)
+    n_blocks = total_padded // BLOCK
+    last_idx = jnp.maximum(n_blocks - 1, 0)
+    last_tile = jnp.clip(raw_tile[last_idx], 0, T - 1)
+    block_tile = jnp.where(block_valid == 1, jnp.clip(raw_tile, 0, T - 1),
+                           last_tile).astype(jnp.int32)
 
-    # Gid-sorted view of the packed entries, for scatter-free per-Gaussian
-    # reductions downstream (gradient accumulation, contribution flags).
-    # Segment boundaries come in closed form from the emission counts
-    # (searchsorted's internal per-round scalar gathers cost ~100ms at this
-    # scale): every emitted entry survives packing, truncated only by the
-    # capacity overflow at the emission tail.
-    gid_key = jnp.where(gauss_id >= 0, gauss_id, N).astype(jnp.int32)
-    _, by_gid_perm = jax.lax.sort(
-        (gid_key, jnp.arange(E_cap, dtype=jnp.int32)),
-        num_keys=1, is_stable=True)
-    counts_eff = jnp.clip(entry_cap - offsets, 0, counts)
     gid_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts_eff).astype(jnp.int32)])
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(kept).astype(jnp.int32)])
+
+    # The tile's final compositing state lives in its last block's slot of
+    # the kernel's per-block state dump (empty tiles are masked downstream).
+    tile_last_block = jnp.maximum(
+        (padded_start + padded.astype(jnp.int32)) // BLOCK - 1, 0)
 
     return Binned(
         gauss_id=gauss_id,
         block_tile=block_tile,
         block_valid=block_valid,
-        tile_nonempty=tile_counts > 0,
+        tile_nonempty=tcounts > 0,
+        tile_last_block=tile_last_block,
         num_entries=total,
         overflow=overflow,
-        by_gid_perm=by_gid_perm,
         gid_starts=gid_starts,
     )

@@ -231,16 +231,7 @@ def preprocess(
     disc0 = jnp.sqrt(jnp.maximum(mid0 * mid0 - det0, 1e-8))
     pixel_size = 2.0 * jnp.sqrt(jnp.maximum(mid0 + disc0, 1e-8))
 
-    # Tile rectangle (reference getRect semantics, 16×16 tiles).
-    tiles_x = (W_img + TILE - 1) // TILE
-    tiles_y = (H + TILE - 1) // TILE
-    rmin_x = jnp.clip(jnp.floor((mean_px[:, 0] - radius) / TILE), 0, tiles_x).astype(jnp.int32)
-    rmin_y = jnp.clip(jnp.floor((mean_px[:, 1] - radius) / TILE), 0, tiles_y).astype(jnp.int32)
-    rmax_x = jnp.clip(jnp.floor((mean_px[:, 0] + radius + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
-    rmax_y = jnp.clip(jnp.floor((mean_px[:, 1] + radius + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
-    n_touched = jnp.maximum(rmax_x - rmin_x, 0) * jnp.maximum(rmax_y - rmin_y, 0)
-
-    visible = (depths > NEAR_CULL) & (det > 0) & (n_touched > 0)
+    visible = (depths > NEAR_CULL) & (det > 0)
     if live_mask is not None:
         visible = visible & live_mask
 
@@ -309,6 +300,47 @@ def preprocess(
             applies, _fade_weight(thresh - pixel_size + fade_size), 1.0)
         op = op * w_large
         visible = visible & (w_large > 0)
+
+    # Tile rectangle. The reference includes every pixel of every tile its
+    # square ceil(3σ_max) box touches, α-masked at 1/255 in the kernel
+    # (getRect + SURVEY §2.3 step 3). The pixels that actually survive the
+    # mask lie inside the ellipse dᵀΣ⁻¹d ≤ k², k² = 2·ln(255·op), whose
+    # bbox is k·sqrt(cov_xx) × k·sqrt(cov_yy). Intersecting the tile-rects
+    # of that ellipse bbox and of the reference box keeps *exactly* the
+    # reference's surviving pixel set (the α mask does the rest) while
+    # touching far fewer tiles for anisotropic or faint splats (~0.5×
+    # entries at bench shapes). `radius` (3σ of λ_max) is still reported
+    # for the reference's screen-size statistics (max_radii2D pruning,
+    # train.py:249).
+    op_struct = jax.lax.stop_gradient(op)
+    k2 = 2.0 * jnp.log(jnp.maximum(op_struct, 1e-12) / ALPHA_MIN)
+    k = jnp.sqrt(jnp.maximum(k2, 0.0))
+    ext_x = k * jnp.sqrt(jnp.maximum(cxx, 0.0))
+    ext_y = k * jnp.sqrt(jnp.maximum(cyy, 0.0))
+    tiles_x = (W_img + TILE - 1) // TILE
+    tiles_y = (H + TILE - 1) // TILE
+    mx = jax.lax.stop_gradient(mean_px[:, 0])
+    my = jax.lax.stop_gradient(mean_px[:, 1])
+    rad = jax.lax.stop_gradient(radius)
+
+    def lo(m, e):
+        return jnp.clip(jnp.floor(
+            jnp.maximum(m - e, m - rad) / TILE), 0, tiles_x + tiles_y
+        ).astype(jnp.int32)
+
+    def hi(m, e):
+        return jnp.clip(jnp.minimum(
+            jnp.floor((m + e) / TILE) + 1.0,
+            jnp.floor((m + rad + TILE - 1) / TILE)), 0, tiles_x + tiles_y
+        ).astype(jnp.int32)
+
+    rmin_x = jnp.minimum(lo(mx, ext_x), tiles_x)
+    rmin_y = jnp.minimum(lo(my, ext_y), tiles_y)
+    rmax_x = jnp.minimum(hi(mx, ext_x), tiles_x)
+    rmax_y = jnp.minimum(hi(my, ext_y), tiles_y)
+    n_touched = jnp.maximum(rmax_x - rmin_x, 0) * \
+        jnp.maximum(rmax_y - rmin_y, 0)
+    visible = visible & (n_touched > 0) & (k2 > 0)
 
     radii = jnp.where(visible, radius, 0.0).astype(jnp.int32)
     return PreprocessOut(

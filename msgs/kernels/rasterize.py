@@ -10,10 +10,11 @@ plus a transmittance map. Differences by design: images are channels-last
 `means2d_probe` argument instead of a retain_grad dummy tensor; the render
 level is passed explicitly for the per-level appearance buckets.
 
-Differentiability: preprocess is plain jnp (XLA autodiff), binning indices are
-integer/stop-grad, the entry gather is autodiffed by XLA (its VJP performs the
-per-Gaussian scatter-add of entry gradients), and the compositor is a Pallas
-custom_vjp pair.
+Differentiability: preprocess is plain jnp (XLA autodiff); binning produces
+integer structure under stop_gradient; the per-entry payload is a row gather
+from the small per-Gaussian feature table with a custom VJP (sort the
+gradient rows by Gaussian id — a fast radix sort — then a scatter-free
+MXU segmented reduction); the compositor is a Pallas custom_vjp pair.
 """
 from __future__ import annotations
 
@@ -68,13 +69,12 @@ def _tri_cumsum(x):
 def _segmented_sums(values, gid_starts, n_gaussians: int):
     """Per-Gaussian sums of gid-sorted per-entry values — scatter-free.
 
-    TPU scatter-add serializes on colliding indices, so instead segment sums
-    come from a two-level MXU prefix (triangular-matmul cumsums over
-    128-entry chunks + a chunk-total prefix) differenced at the segment
+    TPU scatter-add over millions of colliding rows is ~10× slower than a
+    radix sort, so gradients arrive here already sorted by Gaussian id and
+    segment sums come from a two-level MXU prefix (triangular-matmul cumsums
+    over 128-entry chunks + a chunk-total prefix) differenced at the segment
     boundaries `gid_starts`, which binning computes in closed form from the
-    emission counts (no searchsorted — its internal per-round scalar gathers
-    dominate at millions of entries). Signed-gradient prefixes keep
-    cancellation error small.
+    emission counts.
 
     values: (E, F) sorted so equal gids are contiguous; gid_starts: (N+1,)
     segment boundaries into that order. Returns (N, F).
@@ -109,33 +109,44 @@ def _segmented_sums(values, gid_starts, n_gaussians: int):
     return prefix_at(gid_starts[1:]) - prefix_at(gid_starts[:-1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _take_entry_rows(feats, idc, valid, by_gid_perm, gid_starts):
-    """Differentiable per-entry row gather whose VJP is the scatter-free
-    segmented reduction above (instead of XLA's serialized scatter-add)."""
-    return jnp.where(valid[:, None], feats[idc], 0.0)
+def _sort_by_gid(gid, values):
+    """Radix-sort (E, F) rows by their Gaussian id. Carrying the columns as
+    sort payloads (~0.3 ms/column) beats any E-row-table gather or
+    scatter-add by an order of magnitude on TPU."""
+    F = values.shape[1]
+    ops = jax.lax.sort(
+        (gid,) + tuple(values[:, i] for i in range(F)),
+        num_keys=1, is_stable=True)
+    return jnp.stack(ops[1:], axis=1)
 
 
-def _take_fwd(feats, idc, valid, by_gid_perm, gid_starts):
-    out = _take_entry_rows(feats, idc, valid, by_gid_perm, gid_starts)
-    return out, (feats.shape[0], valid, by_gid_perm, gid_starts)
+@jax.custom_vjp
+def _gather_payload(table, gid, gid_starts):
+    """Differentiable per-entry row gather from the small (N+1, F) feature
+    table (last row zeros = dummy/null sentinel). Its VJP sorts the entry
+    gradients by Gaussian id and segment-reduces them — never an E-row-table
+    gather or a colliding scatter."""
+    return table[gid]
 
 
-def _take_bwd(res, g):
-    n, valid, by_gid_perm, gid_starts = res
-    g = jnp.where(valid[:, None], g, 0.0)
-    g_sorted = g[by_gid_perm]
-    d_feats = _segmented_sums(g_sorted, gid_starts, n)
+def _gather_payload_fwd(table, gid, gid_starts):
+    return table[gid], (table.shape[0], gid, gid_starts)
+
+
+def _gather_payload_bwd(res, g):
+    n1, gid, gid_starts = res
+    g_sorted = _sort_by_gid(gid, g)
+    d = _segmented_sums(g_sorted, gid_starts, n1 - 1)
+    d_table = jnp.concatenate([d, jnp.zeros((1, g.shape[1]), g.dtype)], 0)
 
     def _f0(shape):
         import numpy as _np
         return _np.zeros(shape, dtype=jax.dtypes.float0)
 
-    return (d_feats, _f0(by_gid_perm.shape), _f0(valid.shape),
-            _f0(by_gid_perm.shape), _f0(gid_starts.shape))
+    return (d_table, _f0(gid.shape), _f0(gid_starts.shape))
 
 
-_take_entry_rows.defvjp(_take_fwd, _take_bwd)
+_gather_payload.defvjp(_gather_payload_fwd, _gather_payload_bwd)
 
 
 class CompositeResult(NamedTuple):
@@ -162,29 +173,26 @@ def composite_pipeline(pre, width: int, height: int,
         jax.tree_util.tree_map(jax.lax.stop_gradient, pre),
         width, height, settings.entry_cap)
 
-    feats = jnp.zeros((N, comp.NFEAT), jnp.float32)
-    feats = feats.at[:, comp.F_MX].set(pre.means2d[:, 0])
-    feats = feats.at[:, comp.F_MY].set(pre.means2d[:, 1])
-    feats = feats.at[:, comp.F_CXX].set(pre.conics[:, 0])
-    feats = feats.at[:, comp.F_CXY].set(pre.conics[:, 1])
-    feats = feats.at[:, comp.F_CYY].set(pre.conics[:, 2])
-    feats = feats.at[:, comp.F_R:comp.F_B + 1].set(pre.colors)
-    feats = feats.at[:, comp.F_OP].set(pre.opacities)
-    feats = feats.at[:, comp.F_DEPTH].set(pre.depths)
-    feats = feats.at[:, comp.F_PSIZE].set(pre.pixel_sizes)
+    feats = jnp.zeros((N + 1, comp.NFEAT), jnp.float32)
+    feats = feats.at[:N, comp.F_MX].set(pre.means2d[:, 0])
+    feats = feats.at[:N, comp.F_MY].set(pre.means2d[:, 1])
+    feats = feats.at[:N, comp.F_CXX].set(pre.conics[:, 0])
+    feats = feats.at[:N, comp.F_CXY].set(pre.conics[:, 1])
+    feats = feats.at[:N, comp.F_CYY].set(pre.conics[:, 2])
+    feats = feats.at[:N, comp.F_R:comp.F_B + 1].set(pre.colors)
+    feats = feats.at[:N, comp.F_OP].set(pre.opacities)
+    feats = feats.at[:N, comp.F_DEPTH].set(pre.depths)
+    feats = feats.at[:N, comp.F_PSIZE].set(pre.pixel_sizes)
+    feats = feats.at[:N, comp.F_VALID].set(1.0)
 
-    ids = binned.gauss_id
-    valid = ids >= 0
-    idc = jnp.maximum(ids, 0)
-    entry_feat = _take_entry_rows(feats, idc, valid, binned.by_gid_perm,
-                                  binned.gid_starts)
-    entry_feat = entry_feat.at[:, comp.F_VALID].set(valid.astype(jnp.float32))
+    entry_feat = _gather_payload(feats, binned.gauss_id, binned.gid_starts)
     payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT)
 
     backend = _resolve_backend(settings.backend)
     fn = comp.composite if backend == "pallas" else comp.composite_reference
     tiles_out, contrib = fn(payload, binned.block_tile, binned.block_valid,
-                            tiles, tiles_x, width, height)
+                            binned.tile_last_block, tiles, tiles_x, width,
+                            height)
 
     # tiles_out: (T, NOUT, 256) channel-major → (H, W, NOUT).
     empty_init = jnp.zeros((comp.NOUT,), jnp.float32).at[comp.O_T].set(1.0)
@@ -194,16 +202,13 @@ def composite_pipeline(pre, width: int, height: int,
     full = full.transpose(0, 3, 1, 4, 2).reshape(
         tiles_y * TILE, tiles_x * TILE, comp.NOUT)[:height, :width]
 
-    # Contribution flags: per-Gaussian OR over entries, via the gid-sorted
-    # segmented reduction (sum of positive weights > 0) — no scatter-max.
+    # Contribution flags: per-Gaussian OR over entries via the same
+    # sort-by-gid + segmented reduction as the gradient path.
     # contrib is (BLOCK, B_cap): entry e = b·BLOCK + l ↦ contrib[l, b].
-    # (1-D element gathers are ~100× slower than row gathers on TPU — widen
-    # the permutation to 8 lanes.)
     contrib_flat = jax.lax.stop_gradient(contrib).T.reshape(-1)
-    c8 = jnp.broadcast_to(contrib_flat[:, None],
-                          (contrib_flat.shape[0], 8))
-    c_sorted = (c8[binned.by_gid_perm][:, :1] > 0.0).astype(jnp.float32)
-    contributed_sum = _segmented_sums(c_sorted, binned.gid_starts, N)[:, 0]
+    flags = (contrib_flat > 0.0).astype(jnp.float32)
+    f_sorted = _sort_by_gid(binned.gauss_id, flags[:, None])
+    contributed_sum = _segmented_sums(f_sorted, binned.gid_starts, N)[:, 0]
 
     return CompositeResult(
         image=full[..., comp.O_R:comp.O_B + 1],

@@ -1,24 +1,12 @@
-"""The scatter-free gather VJP (_take_entry_rows / _segmented_sums) must
-match plain XLA gather autodiff exactly — this is the only test that checks
-it against an independent implementation (both rasterizer backends share the
+"""The sort-based gather VJP (_gather_payload / _segmented_sums) must match
+plain XLA gather autodiff exactly — this is the only test that checks it
+against an independent implementation (both rasterizer backends share the
 custom path)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from msgs.kernels.rasterize import _segmented_sums, _take_entry_rows
-
-
-def _mk(E=4096, N=300, seed=0):
-    rng = np.random.default_rng(seed)
-    ids = np.sort(rng.integers(0, N, E)).astype(np.int32)
-    # sprinkle invalid entries (id == N) at the end like real padding
-    ids[-100:] = N
-    perm = rng.permutation(E).astype(np.int32)
-    ids_packed = np.empty(E, np.int32)
-    ids_packed[perm] = ids        # packed order; perm sorts it back
-    valid = ids_packed < N
-    return ids_packed, valid, perm, ids
+from msgs.kernels.rasterize import _gather_payload, _segmented_sums
 
 
 def _starts_of(ids_sorted, N):
@@ -37,31 +25,38 @@ def test_segmented_sums_match_bincount():
     np.testing.assert_allclose(out, expect, atol=2e-4)
 
 
-def test_take_rows_vjp_matches_gather_autodiff():
+def test_gather_payload_vjp_matches_gather_autodiff():
     rng = np.random.default_rng(2)
     E, N, F = 4096, 300, 16
-    ids_packed, valid, perm, ids_sorted = _mk(E, N)
-    feats = rng.normal(size=(N, F)).astype(np.float32)
-    cot = rng.normal(size=(E, F)).astype(np.float32)
-
-    idc = jnp.asarray(np.minimum(ids_packed, N - 1))
-    v = jnp.asarray(valid)
+    # Packed-order gids with sentinel N sprinkled in (dummy/null entries),
+    # like a real binned stream.
+    ids_sorted = np.sort(rng.integers(0, N, E - 100)).astype(np.int32)
+    gid_packed = rng.permutation(
+        np.concatenate([ids_sorted, np.full(100, N, np.int32)])).astype(
+            np.int32)
+    # Segment starts in gid-sorted order (emission counts, closed form).
     gid_starts = jnp.asarray(_starts_of(ids_sorted, N))
-    by_gid_perm = jnp.asarray(perm)
 
-    def custom(f):
-        out = _take_entry_rows(f, idc, v, by_gid_perm, gid_starts)
+    table = np.zeros((N + 1, F), np.float32)
+    table[:N] = rng.normal(size=(N, F)).astype(np.float32)
+    cot = rng.normal(size=(E, F)).astype(np.float32)
+    gid = jnp.asarray(gid_packed)
+
+    def custom(t):
+        out = _gather_payload(t, gid, gid_starts)
         return jnp.sum(out * jnp.asarray(cot))
 
-    def plain(f):
-        out = jnp.where(v[:, None], f[idc], 0.0)
-        return jnp.sum(out * jnp.asarray(cot))
+    def plain(t):
+        return jnp.sum(t[gid] * jnp.asarray(cot))
 
-    g_c = jax.grad(custom)(jnp.asarray(feats))
-    g_p = jax.grad(plain)(jnp.asarray(feats))
-    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_p), atol=3e-4)
-    # values agree too
+    g_c = jax.grad(custom)(jnp.asarray(table))
+    g_p = jax.grad(plain)(jnp.asarray(table))
+    # Real rows match plain gather autodiff; the sentinel row is a structural
+    # constant (zeros appended by the caller) so the custom path zeroes its
+    # gradient where plain autodiff accumulates the dummy cotangents.
+    np.testing.assert_allclose(np.asarray(g_c)[:N], np.asarray(g_p)[:N],
+                               atol=3e-4)
+    assert float(jnp.abs(g_c[N]).max()) == 0.0
     np.testing.assert_allclose(
-        np.asarray(_take_entry_rows(jnp.asarray(feats), idc, v, by_gid_perm,
-                                    gid_starts)),
-        np.asarray(jnp.where(v[:, None], jnp.asarray(feats)[idc], 0.0)))
+        np.asarray(_gather_payload(jnp.asarray(table), gid, gid_starts)),
+        np.asarray(jnp.asarray(table)[gid]))

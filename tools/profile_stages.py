@@ -1,5 +1,12 @@
 """Stage-by-stage TPU profiling of the rasterizer at bench shapes.
 
+Timing methodology (important on the axon tunnel backend):
+`jax.block_until_ready` only flushes the command buffer over the tunnel — it
+does NOT wait for device completion, so naive timings report ~0 for anything
+that fits the in-flight buffer. True device time = wall clock over n queued
+dispatches ending in a forced host fetch, minus one single-dispatch run
+(which measures the ~50 ms round-trip latency).
+
 Usage: python tools/profile_stages.py [N] [W] [H] [entry_cap_pow]
 """
 import os
@@ -17,12 +24,13 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
+    import importlib
+
     from msgs.core.camera import make_camera
     from msgs.kernels import composite as comp
-    import importlib
-    rz = importlib.import_module('msgs.kernels.rasterize')
-    from msgs.kernels.binning import BLOCK, bin_gaussians, entry_capacity
+    from msgs.kernels.binning import BLOCK, bin_gaussians
     from msgs.kernels.preprocess import preprocess
+    rz = importlib.import_module("msgs.kernels.rasterize")
 
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
@@ -40,67 +48,82 @@ def main():
     cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.8, W, H)
     args = tuple(jnp.asarray(a)
                  for a in (means, scales, quats, opac, cols))
+    settings = rz.RasterSettings(backend="pallas", entry_cap=ENTRY_CAP)
+
+    def scalarize(x):
+        return jnp.sum(jnp.asarray(
+            [jnp.sum(l.astype(jnp.float32))
+             for l in jax.tree_util.tree_leaves(x)]))
 
     def timeit(name, f, *a, n=10):
+        jfn = jax.jit(lambda *a: scalarize(f(*a)))
         t0 = time.perf_counter()
-        r = jax.block_until_ready(f(*a))
+        float(np.asarray(jfn(*a)))
         print(f"{name} first: {time.perf_counter()-t0:.1f}s", flush=True)
         t0 = time.perf_counter()
         for _ in range(n):
-            r = f(*a)
-        jax.block_until_ready(r)
-        print(f"{name}: {(time.perf_counter()-t0)/n*1000:.2f} ms",
-              flush=True)
-        return r
+            r = jfn(*a)
+        float(np.asarray(r))
+        t_n = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(jfn(*a)))
+        t_1 = time.perf_counter() - t0
+        print(f"{name}: {(t_n - t_1)/(n-1)*1000:.2f} ms", flush=True)
 
     pre_f = jax.jit(lambda m, s, q, o, c: preprocess(
         cam, m, o, colors_precomp=c, scales=s, quats=q))
-    pre = timeit("preprocess", pre_f, *args)
-    bin_f = jax.jit(lambda p: bin_gaussians(p, W, H, ENTRY_CAP))
-    binned = timeit("binning", bin_f, pre)
+    timeit("preprocess fwd", lambda m, s, q, o, c: preprocess(
+        cam, m, o, colors_precomp=c, scales=s, quats=q), *args)
+    pre = pre_f(*args)
+    timeit("binning", lambda p: bin_gaussians(p, W, H, ENTRY_CAP), pre)
+    binned = jax.jit(lambda p: bin_gaussians(p, W, H, ENTRY_CAP))(pre)
+    print("entries:", int(binned.num_entries), flush=True)
 
-    def gather_f(pre, binned):
+    def payload_f(pre, binned):
         Nn = pre.depths.shape[0]
-        feats = jnp.zeros((Nn, comp.NFEAT), jnp.float32)
-        feats = feats.at[:, comp.F_MX].set(pre.means2d[:, 0])
-        feats = feats.at[:, comp.F_R:comp.F_B + 1].set(pre.colors)
-        ids = binned.gauss_id
-        valid = ids >= 0
-        idc = jnp.maximum(ids, 0)
-        ef = rz._take_entry_rows(feats, idc, valid, binned.by_gid_perm,
-                                 binned.gid_starts)
+        feats = jnp.zeros((Nn + 1, comp.NFEAT), jnp.float32)
+        feats = feats.at[:Nn, comp.F_MX].set(pre.means2d[:, 0])
+        feats = feats.at[:Nn, comp.F_R:comp.F_B + 1].set(pre.colors)
+        feats = feats.at[:Nn, comp.F_VALID].set(1.0)
+        ef = rz._gather_payload(feats, binned.gauss_id, binned.gid_starts)
         return ef.reshape(-1, BLOCK, comp.NFEAT)
-    payload = timeit("gather+pack", jax.jit(gather_f), pre, binned)
-    print("entries:", int(binned.num_entries), "payload:", payload.shape,
-          flush=True)
+    timeit("payload gather", payload_f, pre, binned)
+    payload = jax.jit(payload_f)(pre, binned)
 
-    def gather_bwd(pre, binned):
+    def payload_vjp(pre, binned):
         def f(feats):
-            ids = binned.gauss_id
-            valid = ids >= 0
-            idc = jnp.maximum(ids, 0)
-            ef = rz._take_entry_rows(feats, idc, valid, binned.by_gid_perm,
-                                     binned.gid_starts)
+            ef = rz._gather_payload(feats, binned.gauss_id, binned.gid_starts)
             return jnp.sum(ef)
         Nn = pre.depths.shape[0]
-        feats = jnp.zeros((Nn, comp.NFEAT), jnp.float32)
-        return jax.grad(f)(feats)
-    timeit("gather vjp", jax.jit(gather_bwd), pre, binned)
+        return jax.grad(f)(jnp.zeros((Nn + 1, comp.NFEAT), jnp.float32))
+    timeit("payload vjp (sort-back+segsum)", payload_vjp, pre, binned)
 
     tiles_x = (W + 15) // 16
     tiles = tiles_x * ((H + 15) // 16)
-    fwd_f = jax.jit(lambda p, bt, bv: comp.composite(
-        p, bt, bv, tiles, tiles_x, W, H))
-    out = timeit("composite fwd", fwd_f, payload, binned.block_tile,
-                 binned.block_valid)
+    timeit("composite fwd", lambda p, bt, bv, tlb: comp.composite(
+        p, bt, bv, tlb, tiles, tiles_x, W, H), payload, binned.block_tile,
+        binned.block_valid, binned.tile_last_block)
 
-    def bwd_f(p, bt, bv):
+    def bwd_f(p, bt, bv, tlb):
         def g(p):
-            o, c = comp.composite(p, bt, bv, tiles, tiles_x, W, H)
+            o, c = comp.composite(p, bt, bv, tlb, tiles, tiles_x, W, H)
             return jnp.sum(o[:, :5])
         return jax.grad(g)(p)
-    timeit("composite fwd+bwd", jax.jit(bwd_f), payload, binned.block_tile,
-           binned.block_valid)
+    timeit("composite fwd+bwd", bwd_f, payload, binned.block_tile,
+           binned.block_valid, binned.tile_last_block)
+
+    def full_fwd(m, s, q, o, c):
+        return rz.rasterize(cam, m, o, colors_precomp=c, scales=s, quats=q,
+                            settings=settings).image
+    timeit("full rasterize fwd", full_fwd, *args)
+
+    def full_fwd_bwd(m, s, q, o, c):
+        def loss(m, s, q, o, c):
+            out = rz.rasterize(cam, m, o, colors_precomp=c, scales=s,
+                               quats=q, settings=settings)
+            return jnp.mean(out.image ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(m, s, q, o, c)
+    timeit("full rasterize fwd+bwd", full_fwd_bwd, *args)
 
 
 if __name__ == "__main__":
