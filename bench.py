@@ -48,7 +48,8 @@ def main():
     opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
     cols = rng.uniform(0, 1, (N, 3)).astype(np.float32)
     cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.8, W, H)
-    settings = RasterSettings(backend="pallas", entry_cap=ENTRY_CAP)
+    settings = RasterSettings(backend="pallas", entry_cap=ENTRY_CAP,
+                              image_grads_only=True)
 
     args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(opac), jnp.asarray(cols))

@@ -168,7 +168,8 @@ def training(args):
     settings = RasterSettings(filter_small=args.filter_small,
                               filter_large=filter_large,
                               entry_cap=args.entry_cap,
-                              backend=args.backend)
+                              backend=args.backend,
+                              image_grads_only=True)
 
     st = create_from_points(cfg, scene.points, scene.colors)
     state = L.init_train_state(st)

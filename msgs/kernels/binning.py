@@ -146,18 +146,27 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         kept.astype(jnp.float32),
         jnp.zeros_like(pre.depths), jnp.zeros_like(pre.depths)], axis=1)
     rows = binfo[gid_c]                              # (entry_cap, 8)
-    off_e = rows[:, 0].astype(jnp.int32)
-    rmin_x = rows[:, 1].astype(jnp.int32)
-    rmin_y = rows[:, 2].astype(jnp.int32)
-    w_e = rows[:, 3].astype(jnp.int32)
+    off_f = rows[:, 0]
+    rmin_x_f = rows[:, 1]
+    rmin_y_f = rows[:, 2]
+    w_f = rows[:, 3]
     depth_e = rows[:, 4]
-    kept_e = rows[:, 5].astype(jnp.int32)
+    kept_f = rows[:, 5]
 
-    slot = jnp.arange(entry_cap, dtype=jnp.int32) - off_e
-    valid = slot < kept_e                            # truncated rows: kept=0
-    tx = rmin_x + slot % w_e
-    ty = rmin_y + slot // w_e
-    tile_e = ty * tiles_x + tx
+    # slot → (row, col) of the rect in f32: the VPU has no integer divide
+    # (int div/mod by a variable divisor costs ~10 ms at 2M entries), and
+    # valid slots (< kept ≤ rect area ≤ ~2^13) divide exactly in f32 after
+    # the two standard floor corrections.
+    slot_f = (jax.lax.iota(jnp.float32, entry_cap) - off_f)
+    valid = slot_f < kept_f                          # truncated rows: kept=0
+    q = jnp.floor(slot_f / w_f)
+    r = slot_f - q * w_f
+    q = (q - (r < 0.0).astype(jnp.float32)
+         + (r >= w_f).astype(jnp.float32))
+    r = slot_f - q * w_f
+    tx_f = rmin_x_f + r
+    ty_f = rmin_y_f + q
+    tile_e = (ty_f * tiles_x + tx_f).astype(jnp.int32)
 
     # Depth → db bits against the visible depth range (stop-grad structure).
     dmin = jnp.min(jnp.where(pre.visible, pre.depths, jnp.inf))

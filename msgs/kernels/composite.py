@@ -221,7 +221,8 @@ def _fwd_kernel(bt_ref, bv_ref, payload_ref, out_ref, contrib_ref, state_ref,
 
 
 def _bwd_kernel(bt_ref, bv_ref, payload_ref, cst_ref, dpay_ref, state_ref,
-                *, tiles_x: int, width: int, height: int):
+                *, tiles_x: int, width: int, height: int,
+                image_only: bool = False):
     s = pl.program_id(0)
 
     dpay_ref[...] = jnp.zeros((GROUP, BLOCK, NFEAT), jnp.float32)
@@ -260,14 +261,15 @@ def _bwd_kernel(bt_ref, bv_ref, payload_ref, cst_ref, dpay_ref, state_ref,
             w = alpha * t_i * alive                 # (BLOCK, NPIX)
 
             g_c = cst[C_GR:C_GB + 1, :]             # (3, NPIX)
-            g_d = cst[C_GD:C_GD + 1, :]
-            g_a = cst[C_GA:C_GA + 1, :]
 
             phi = (feat[:, F_R:F_R + 1] * g_c[0:1, :]
                    + feat[:, F_G:F_G + 1] * g_c[1:2, :]
                    + feat[:, F_B:F_B + 1] * g_c[2:3, :])  # (BLOCK, NPIX)
-            phi = phi + feat[:, F_DEPTH:F_DEPTH + 1] * g_d
-            phi = phi + feat[:, F_PSIZE:F_PSIZE + 1] * g_a
+            if not image_only:
+                g_d = cst[C_GD:C_GD + 1, :]
+                g_a = cst[C_GA:C_GA + 1, :]
+                phi = phi + feat[:, F_DEPTH:F_DEPTH + 1] * g_d
+                phi = phi + feat[:, F_PSIZE:F_PSIZE + 1] * g_a
 
             wphi = w * phi
             prefix = p_carry + _cumsum_entries(wphi)  # inclusive
@@ -295,8 +297,6 @@ def _bwd_kernel(bt_ref, bv_ref, payload_ref, cst_ref, dpay_ref, state_ref,
             d_colors = jnp.stack([
                 jnp.sum(w * g_c[i:i + 1, :], axis=1) for i in range(3)],
                 axis=1)                             # (BLOCK, 3)
-            d_depth = jnp.sum(w * g_d, axis=1)
-            d_psize = jnp.sum(w * g_a, axis=1)
 
             # Column stores — natural in the entry-major layout.
             dpay_ref[g, :, F_MX] = d_mx
@@ -308,8 +308,9 @@ def _bwd_kernel(bt_ref, bv_ref, payload_ref, cst_ref, dpay_ref, state_ref,
             dpay_ref[g, :, F_R] = d_colors[:, 0]
             dpay_ref[g, :, F_G] = d_colors[:, 1]
             dpay_ref[g, :, F_B] = d_colors[:, 2]
-            dpay_ref[g, :, F_DEPTH] = d_depth
-            dpay_ref[g, :, F_PSIZE] = d_psize
+            if not image_only:
+                dpay_ref[g, :, F_DEPTH] = jnp.sum(w * g_d, axis=1)
+                dpay_ref[g, :, F_PSIZE] = jnp.sum(w * g_a, axis=1)
 
             # Advance per-tile state exactly as the forward pass does.
             t_new = jnp.min(jnp.where(alive > 0.0, t_after, t_in), axis=0,
@@ -361,7 +362,8 @@ def _composite_fwd_call(payload, block_tile, block_valid, tile_last_block,
 
 
 def _composite_bwd_call(payload, block_tile, block_valid, res, cot,
-                        tiles_x: int, width: int, height: int):
+                        tiles_x: int, width: int, height: int,
+                        image_only: bool = False):
     b_cap = payload.shape[0]
     # Per-tile backward constants, pre-gathered per block (a block-row gather
     # from the small (T, 8, NPIX) table):
@@ -396,7 +398,7 @@ def _composite_bwd_call(payload, block_tile, block_valid, res, cot,
     )
     (dpay,) = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, width=width,
-                          height=height),
+                          height=height, image_only=image_only),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
         interpret=_interpret(),
@@ -404,13 +406,16 @@ def _composite_bwd_call(payload, block_tile, block_valid, res, cot,
     return dpay
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def composite(payload, block_tile, block_valid, tile_last_block, tiles: int,
-              tiles_x: int, width: int, height: int
+              tiles_x: int, width: int, height: int,
+              image_only: bool = False
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite packed splat blocks into per-tile images.
 
     payload: (B_cap, BLOCK, NFEAT) f32 — blocked, depth-sorted, tile-aligned.
+    With `image_only`, depth/acc/T cotangents are treated as structurally
+    zero in the backward pass (the reference's training grad contract).
     Returns (tiles_out (T, NOUT, 256), contrib (BLOCK, B_cap)).
     """
     return _composite_fwd_call(payload, block_tile, block_valid,
@@ -418,17 +423,19 @@ def composite(payload, block_tile, block_valid, tile_last_block, tiles: int,
 
 
 def _composite_fwd(payload, block_tile, block_valid, tile_last_block, tiles,
-                   tiles_x, width, height):
+                   tiles_x, width, height, image_only):
     out = _composite_fwd_call(payload, block_tile, block_valid,
                               tile_last_block, tiles, tiles_x, width, height)
     return out, (payload, block_tile, block_valid, out[0])
 
 
-def _composite_bwd(tiles, tiles_x, width, height, residuals, cotangents):
+def _composite_bwd(tiles, tiles_x, width, height, image_only, residuals,
+                   cotangents):
     payload, block_tile, block_valid, res = residuals
     g_tiles, _g_contrib = cotangents
     dpay = _composite_bwd_call(payload, block_tile, block_valid, res,
-                               g_tiles, tiles_x, width, height)
+                               g_tiles, tiles_x, width, height,
+                               image_only=image_only)
 
     def _f0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -440,7 +447,8 @@ composite.defvjp(_composite_fwd, _composite_bwd)
 
 
 def composite_reference(payload, block_tile, block_valid, tile_last_block,
-                        tiles: int, tiles_x: int, width: int, height: int
+                        tiles: int, tiles_x: int, width: int, height: int,
+                        image_only: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-jnp gold oracle: a `lax.scan` over blocks sharing
     `_block_forward` with the Pallas kernel — identical arithmetic and

@@ -35,6 +35,13 @@ class RasterSettings(NamedTuple):
     filter_large: bool = False
     entry_cap: int = 1 << 20
     backend: str = "auto"          # "pallas" | "reference" | "auto"
+    # Only the rendered image carries gradients (the reference's training
+    # contract — SURVEY §2.3: "output gradient enters through rendered_image
+    # only"): depth / acc_pixel_size / transmittance outputs are
+    # stop-gradiented and the backward pass skips their cotangent transport
+    # (2 fewer sort operands, fewer kernel passes). Leave False to
+    # differentiate every output.
+    image_grads_only: bool = False
 
 
 class RenderOutput(NamedTuple):
@@ -120,23 +127,41 @@ def _sort_by_gid(gid, values):
     return jnp.stack(ops[1:], axis=1)
 
 
-@jax.custom_vjp
-def _gather_payload(table, gid, gid_starts):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_payload(table, gid, gid_starts, image_only: bool = False):
     """Differentiable per-entry row gather from the small (N+1, F) feature
     table (last row zeros = dummy/null sentinel). Its VJP sorts the entry
     gradients by Gaussian id and segment-reduces them — never an E-row-table
-    gather or a colliding scatter."""
+    gather or a colliding scatter.
+
+    Contract: only the payload columns [0, F_OP] ∪ [F_R, F_PSIZE] are
+    differentiable — the VALID flag and pad columns must carry zero
+    cotangents (the compositor's bwd kernel never writes them), and their
+    table gradient is returned as zero."""
     return table[gid]
 
 
-def _gather_payload_fwd(table, gid, gid_starts):
+def _gather_payload_fwd(table, gid, gid_starts, image_only: bool = False):
     return table[gid], (table.shape[0], gid, gid_starts)
 
 
-def _gather_payload_bwd(res, g):
+def _gather_payload_bwd(image_only, res, g):
     n1, gid, gid_starts = res
-    g_sorted = _sort_by_gid(gid, g)
-    d = _segmented_sums(g_sorted, gid_starts, n1 - 1)
+    # Only the differentiable payload columns ride the sort (the VALID flag
+    # and pad columns carry structurally-zero cotangents; with image-only
+    # grads, depth/psize too) — each sort operand costs ~3 ms at bench
+    # entry counts.
+    last = comp.F_B if image_only else comp.F_PSIZE
+    g_live = jnp.concatenate(
+        [g[:, :comp.F_OP + 1], g[:, comp.F_R:last + 1]], axis=1)
+    g_sorted = _sort_by_gid(gid, g_live)
+    d_live = _segmented_sums(g_sorted, gid_starts, n1 - 1)
+    n = n1 - 1
+    d = jnp.concatenate([
+        d_live[:, :comp.F_OP + 1],
+        jnp.zeros((n, comp.F_R - comp.F_OP - 1), g.dtype),
+        d_live[:, comp.F_OP + 1:],
+        jnp.zeros((n, g.shape[1] - last - 1), g.dtype)], axis=1)
     d_table = jnp.concatenate([d, jnp.zeros((1, g.shape[1]), g.dtype)], 0)
 
     def _f0(shape):
@@ -185,14 +210,15 @@ def composite_pipeline(pre, width: int, height: int,
     feats = feats.at[:N, comp.F_PSIZE].set(pre.pixel_sizes)
     feats = feats.at[:N, comp.F_VALID].set(1.0)
 
-    entry_feat = _gather_payload(feats, binned.gauss_id, binned.gid_starts)
+    entry_feat = _gather_payload(feats, binned.gauss_id, binned.gid_starts,
+                                 settings.image_grads_only)
     payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT)
 
     backend = _resolve_backend(settings.backend)
     fn = comp.composite if backend == "pallas" else comp.composite_reference
     tiles_out, contrib = fn(payload, binned.block_tile, binned.block_valid,
                             binned.tile_last_block, tiles, tiles_x, width,
-                            height)
+                            height, settings.image_grads_only)
 
     # tiles_out: (T, NOUT, 256) channel-major → (H, W, NOUT).
     empty_init = jnp.zeros((comp.NOUT,), jnp.float32).at[comp.O_T].set(1.0)
@@ -259,6 +285,16 @@ def rasterize(
         occ_multiplier=occ_multiplier, dc_delta=dc_delta, reso_lvl=reso_lvl)
 
     res = composite_pipeline(pre, W, H, settings)
+
+    if settings.image_grads_only:
+        # Match the backward kernel's structural assumption (and the
+        # reference's training contract): only the image differentiates.
+        # Transmittance stays differentiable — its cotangent from the
+        # `T·bg` background term below rides the cheap per-tile constant
+        # row; depth/acc would cost two extra sort operands per step.
+        res = res._replace(
+            depth=jax.lax.stop_gradient(res.depth),
+            acc_pixel_size=jax.lax.stop_gradient(res.acc_pixel_size))
 
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)

@@ -89,6 +89,39 @@ def test_gradients_match(camera, scene, backend):
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_image_grads_only_matches_full(camera, scene):
+    """The trainer's image_grads_only fast path must produce identical
+    parameter gradients for an image-only loss (incl. the T·bg background
+    term) as the reference backend's full autodiff."""
+    means, scales, quats, opac, shs = scene
+    target = jnp.zeros((H, W, 3))
+
+    def make_loss(backend, image_only):
+        def loss_fn(means3d, scales_, quats_, opac_, shs_):
+            settings = RasterSettings(backend=backend, entry_cap=1 << 15,
+                                      image_grads_only=image_only)
+            out = rasterize(
+                camera, means3d, opac_, shs=shs_, scales=scales_,
+                quats=quats_, active_sh_degree=0,
+                bg=jnp.array([0.2, 0.3, 0.4]), settings=settings)
+            return jnp.mean((out.image - target) ** 2)
+        return loss_fn
+
+    args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+    g_ref = jax.grad(make_loss("reference", False),
+                     argnums=tuple(range(5)))(*args)
+    g_pal = jax.grad(make_loss("pallas", True),
+                     argnums=tuple(range(5)))(*args)
+    for name, a, b in zip(["means", "scales", "quats", "opac", "shs"],
+                          g_ref, g_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(b, a, atol=3e-5 * scale + 1e-6,
+                                   err_msg=f"grad mismatch: {name}")
+        assert np.abs(a).max() > 0, f"zero gradient for {name}"
+
+
 def test_grads_cross_backend(camera, scene):
     means, scales, quats, opac, shs = scene
     target = jnp.zeros((H, W, 3))
