@@ -42,16 +42,17 @@ import jax.numpy as jnp
 
 from msgs.kernels.preprocess import TILE, PreprocessOut
 
-BLOCK = 128  # entries per compositor block (TPU lane width)
+BLOCK = 128  # entries per compositor payload block (TPU lane width)
+SUB = 32     # tile-alignment granularity: entries per compositor sub-block
 
 
 class Binned(NamedTuple):
     gauss_id: jnp.ndarray      # (E_cap,) int32 — Gaussian per packed entry,
                                #   N = sentinel (dummy / null / truncated)
-    block_tile: jnp.ndarray    # (B_cap,) int32 — owning tile per block
-    block_valid: jnp.ndarray   # (B_cap,) int32 — 1 if block holds real entries
+    sub_tile: jnp.ndarray      # (S_cap,) int32 — owning tile per sub-block
+    sub_valid: jnp.ndarray     # (S_cap,) int32 — 1 if sub-block holds entries
     tile_nonempty: jnp.ndarray # (T,) bool — tile has ≥1 entry
-    tile_last_block: jnp.ndarray # (T,) int32 — index of the tile's last block
+    tile_last_sub: jnp.ndarray # (T,) int32 — index of the tile's last sub-block
     num_entries: jnp.ndarray   # () int32 — duplicated entries (pre-truncation)
     overflow: jnp.ndarray      # () int32 — entries dropped due to capacity
     gid_starts: jnp.ndarray    # (N+1,) int32 — per-Gaussian segment starts in
@@ -60,10 +61,10 @@ class Binned(NamedTuple):
 
 def entry_capacity(entry_cap: int, tiles: int) -> int:
     """Total packed-entry capacity: duplicates + worst-case per-tile padding
-    (≤ BLOCK−1 dummies per tile), rounded to 128 blocks (the compositor's
-    per-entry contrib output is column-major (BLOCK, B_cap) with (128, 128)
+    (≤ SUB−1 dummies per tile), rounded to 128 blocks (the compositor's
+    per-entry contrib output is column-major (SUB, S_cap) with (SUB, 128)
     VMEM blocks — Mosaic needs a 128-divisible trailing block dim)."""
-    cap = entry_cap + BLOCK * tiles + BLOCK
+    cap = entry_cap + SUB * tiles + BLOCK
     group = 128 * BLOCK
     return ((cap + group - 1) // group) * group
 
@@ -128,8 +129,8 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                 .at[y1, x1].add(1.0, mode="drop"))
     cover = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:tiles_y, :tiles_x]
     tcounts = cover.reshape(T)                       # (T,) f32, exact ints
-    padded = jnp.ceil(tcounts / BLOCK) * BLOCK
-    n_dummy = (padded - tcounts).astype(jnp.int32)   # (T,) in [0, 128)
+    padded = jnp.ceil(tcounts / SUB) * SUB
+    n_dummy = (padded - tcounts).astype(jnp.int32)   # (T,) in [0, SUB)
     padded_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
     total_padded = (padded_start[-1] + padded[-1].astype(jnp.int32))
 
@@ -193,30 +194,31 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     gids = jnp.concatenate([gid_e, jnp.full((pad_cap,), N, jnp.int32)])
     keys_s, gauss_id = jax.lax.sort((keys, gids), num_keys=1, is_stable=True)
 
-    # --- block structure straight from the sorted keys ---
-    first_key = keys_s[jnp.arange(B_cap, dtype=jnp.int32) * BLOCK]
+    # --- sub-block structure straight from the sorted keys ---
+    S_cap = E_cap // SUB
+    first_key = keys_s[jnp.arange(S_cap, dtype=jnp.int32) * SUB]
     raw_tile = first_key // (1 << db)
-    block_valid = (first_key != NULL_KEY).astype(jnp.int32)
-    n_blocks = total_padded // BLOCK
-    last_idx = jnp.maximum(n_blocks - 1, 0)
+    sub_valid = (first_key != NULL_KEY).astype(jnp.int32)
+    n_subs = total_padded // SUB
+    last_idx = jnp.maximum(n_subs - 1, 0)
     last_tile = jnp.clip(raw_tile[last_idx], 0, T - 1)
-    block_tile = jnp.where(block_valid == 1, jnp.clip(raw_tile, 0, T - 1),
-                           last_tile).astype(jnp.int32)
+    sub_tile = jnp.where(sub_valid == 1, jnp.clip(raw_tile, 0, T - 1),
+                         last_tile).astype(jnp.int32)
 
     gid_starts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(kept).astype(jnp.int32)])
 
-    # The tile's final compositing state lives in its last block's slot of
-    # the kernel's per-block state dump (empty tiles are masked downstream).
-    tile_last_block = jnp.maximum(
-        (padded_start + padded.astype(jnp.int32)) // BLOCK - 1, 0)
+    # The tile's final compositing state lives in its last sub-block's slot
+    # of the kernel's state dump (empty tiles are masked downstream).
+    tile_last_sub = jnp.maximum(
+        (padded_start + padded.astype(jnp.int32)) // SUB - 1, 0)
 
     return Binned(
         gauss_id=gauss_id,
-        block_tile=block_tile,
-        block_valid=block_valid,
+        sub_tile=sub_tile,
+        sub_valid=sub_valid,
         tile_nonempty=tcounts > 0,
-        tile_last_block=tile_last_block,
+        tile_last_sub=tile_last_sub,
         num_entries=total,
         overflow=overflow,
         gid_starts=gid_starts,

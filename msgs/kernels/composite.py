@@ -2,16 +2,22 @@
 
 Design (TPU-first, not a CUDA translation — see SURVEY.md §7):
 
-The binner (binning.py) packs depth-sorted splat entries into contiguous
-128-entry blocks, each owned by exactly one 16×16 tile (per-tile dummy
-entries injected before the sort make every tile's segment block-aligned).
-The kernel runs a 1-D grid over *groups* of G consecutive blocks — TPU
-grids execute sequentially on one core, so per-tile state (transmittance,
-done flag, accumulators) is carried across steps in VMEM scratch; grouping
-amortizes the per-grid-step pipeline overhead (~1 µs) over G blocks. After
-each block the kernel dumps the running tile state into that block's slot of
-the output; the caller reads each tile's final state from its *last* block
-(`tile_last_block`, closed form from the binning histogram).
+The binner (binning.py) packs depth-sorted splat entries into a contiguous
+stream whose 32-entry sub-blocks each belong to exactly one 16×16 tile
+(per-tile dummy entries injected before the sort align tile segments to
+SUB=32 — 4× less padding than 128-alignment, and ~20% fewer wasted
+entry×pixel pairs). The kernel still runs a 1-D grid over groups of
+128-entry payload blocks: the heavy per-pair math (alpha eval,
+transcendentals, prefix products) executes at full 128-row width with the
+prefix matrix masked to same-tile runs (`_run_tri`) and per-row incoming
+state selected between the carried scratch state and a fresh tile; only
+the cheap bookkeeping (feature accumulation, T/done updates, state dumps)
+iterates per sub-block. TPU grids execute sequentially on one core, so the
+running tile state lives in VMEM scratch across steps. After each
+sub-block the kernel dumps the running tile state into that sub-block's
+slot of the output; the caller reads each tile's final state from its
+*last* sub-block (`tile_last_sub`, closed form from the binning
+histogram).
 
 Register layout: **entries live on sublanes (128), pixels on lanes (256)** —
 per-entry constants broadcast as (128, 1) columns, per-pixel state packs into
@@ -48,13 +54,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from msgs.kernels.binning import BLOCK
+from msgs.kernels.binning import BLOCK, SUB
 from msgs.kernels.preprocess import ALPHA_MAX, ALPHA_MIN, T_EPS, TILE
 
 NPIX = TILE * TILE     # 256 pixels per tile
 NFEAT = 16             # payload feature columns (12 used + pad)
 NOUT = 8               # output channels: r g b depth acc T done pad
-GROUP = 8              # blocks per grid step (amortizes pipeline overhead)
+GROUP = 8              # 128-entry payload blocks per grid step
+NSUB = BLOCK // SUB    # tile-aligned sub-blocks per payload block
+SPG = GROUP * NSUB     # sub-blocks per grid step
 
 # Payload feature column indices. [F_R..F_PSIZE] must stay contiguous — the
 # compositor accumulates that slice with one matmul.
@@ -101,22 +109,24 @@ def _alpha_terms(feat, px, py):
     return alpha, alpha_raw, g, dx, dy, mask
 
 
-def _tri_lower():
-    """(BLOCK, BLOCK) lower-triangular ones (incl. diagonal): left-matmul
-    gives an inclusive prefix sum along the entry (sublane) axis."""
-    return (jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
-            >= jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+def _tri_lower(n: int):
+    """(n, n) lower-triangular ones (incl. diagonal): left-matmul gives an
+    inclusive prefix sum along the entry (sublane) axis."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+            >= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
             ).astype(jnp.float32)
 
 
-def _cumsum_entries(x):
+def _cumsum_entries(x, tri=None):
     """Inclusive prefix sum along axis 0 (entries) via MXU matmuls — Mosaic
     has no cumsum lowering, and only DEFAULT/HIGHEST dot precisions.
 
     Single-pass MXU matmuls round inputs to bf16; the triangular side is 0/1
     (bf16-exact), so splitting x into three bf16 terms recovers full f32
-    fidelity in 3 passes (vs 6 for HIGHEST)."""
-    tri = _tri_lower()
+    fidelity in 3 passes (vs 6 for HIGHEST). An explicit `tri` (e.g. masked
+    to same-tile runs) overrides the plain lower-triangle."""
+    if tri is None:
+        tri = _tri_lower(x.shape[0])
 
     def dot(a):
         return jax.lax.dot_general(
@@ -162,7 +172,7 @@ def _block_forward(feat, px, py, t_in, done):
     t_new = jnp.min(jnp.where(alive > 0.0, t_after, t_in), axis=0,
                     keepdims=True)
     done_new = jnp.maximum(
-        done, (t_after[BLOCK - 1:, :] < T_EPS).astype(jnp.float32))
+        done, (t_after[-1:, :] < T_EPS).astype(jnp.float32))
     return acc, t_new, done_new, w
 
 
@@ -177,115 +187,239 @@ def _init_state(tile_id, tiles_x: int, width: int, height: int):
     return jnp.concatenate([zeros5, ones, outside, pad], axis=0)
 
 
-def _fwd_kernel(bt_ref, bv_ref, payload_ref, out_ref, contrib_ref, state_ref,
+def _local_pix():
+    """Tile-local pixel centers as (1, NPIX) int-valued f32 rows."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+    return ((p % TILE).astype(jnp.float32),
+            (p // TILE).astype(jnp.float32))
+
+
+def _sub_cols(vals):
+    """NSUB scalars → (BLOCK, 1) f32 column, constant per SUB-row group."""
+    return jnp.concatenate(
+        [jnp.full((SUB, 1), v, jnp.float32) for v in vals], axis=0)
+
+
+def _sub_rows(rows):
+    """NSUB × (1, NPIX) rows → (BLOCK, NPIX), broadcast per SUB-row group."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(r, (SUB, NPIX)) for r in rows], axis=0)
+
+
+def _run_tri(tid_col):
+    """Lower-triangular ones masked to same-tile runs: left-matmul gives
+    per-run inclusive prefixes that never cross a tile boundary. tid_col:
+    (BLOCK, 1) f32. 0/1 entries are bf16-exact, so the 3-split cumsum
+    stays f32-faithful."""
+    eq = (tid_col == jnp.transpose(tid_col)).astype(jnp.float32)
+    return _tri_lower(BLOCK) * eq
+
+
+class _BlockCtx:
+    """Per-128-block shared fwd/bwd math with intra-block tile runs.
+
+    Every SUB-entry row group belongs to one tile (binning aligns tile
+    segments to SUB); the heavy per-pair math runs at full 128-row width,
+    with the prefix matrix masked to same-tile runs and per-row incoming
+    state selected between the carried scratch state and a fresh tile."""
+
+    def __init__(self, feat, tids, prev_tid, not_first, t_run, done_run,
+                 tiles_x: int, width: int, height: int):
+        txs = [(t % tiles_x).astype(jnp.float32) * TILE for t in tids]
+        tys = [(t // tiles_x).astype(jnp.float32) * TILE for t in tids]
+        ox_col = _sub_cols(txs)
+        oy_col = _sub_cols(tys)
+        tid_col = _sub_cols([t.astype(jnp.float32) for t in tids])
+        prev_f = prev_tid.astype(jnp.float32)
+        # Bool select (never an arithmetic blend): the scratch state is
+        # garbage before the first real tile, and 0·NaN would poison it.
+        carried = (tid_col == prev_f) & not_first   # (BLOCK, 1) bool
+        self.run_tri = _run_tri(tid_col)
+
+        pxl, pyl = _local_pix()                    # (1, NPIX)
+        mxl = feat[:, F_MX:F_MX + 1] - ox_col      # (BLOCK, 1)
+        myl = feat[:, F_MY:F_MY + 1] - oy_col
+        cxx = feat[:, F_CXX:F_CXX + 1]
+        cxy = feat[:, F_CXY:F_CXY + 1]
+        cyy = feat[:, F_CYY:F_CYY + 1]
+        op = feat[:, F_OP:F_OP + 1]
+        valid = feat[:, F_VALID:F_VALID + 1]
+
+        dx = pxl - mxl                             # (BLOCK, NPIX)
+        dy = pyl - myl
+        power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+        gsp = jnp.exp(power)
+        alpha_raw = op * gsp
+        mask = (valid > 0.0) & (alpha_raw >= ALPHA_MIN) & (power <= 0.0)
+        alpha = jnp.where(mask, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
+
+        f = 1.0 - alpha
+        cum_incl = jnp.exp(_cumsum_entries(jnp.log(f), self.run_tri))
+        cum_excl = cum_incl / f
+
+        # Per-row incoming transmittance/done: a carried run continues the
+        # scratch state; fresh runs start at T=1 with off-image pixels done.
+        outside = (((pxl + ox_col) >= width)
+                   | ((pyl + oy_col) >= height)).astype(jnp.float32)
+        t_in = jnp.where(carried, t_run, 1.0)      # (BLOCK, NPIX)
+        done = jnp.where(carried, done_run, outside)
+        t_after = t_in * cum_incl
+        alive = (t_after >= T_EPS).astype(jnp.float32) * (1.0 - done)
+
+        self.alpha, self.alpha_raw, self.gsp = alpha, alpha_raw, gsp
+        self.mask, self.f = mask, f
+        self.dx, self.dy = dx, dy
+        self.cum_excl, self.t_after = cum_excl, t_after
+        self.t_in, self.alive = t_in, alive
+        self.w = alpha * t_in * cum_excl * alive   # (BLOCK, NPIX)
+        self.tids, self.carried = tids, carried
+
+    def sub_outside(self, k, tiles_x: int, width: int, height: int):
+        """(1, NPIX) off-image mask of sub-block k's tile."""
+        px, py = _pixel_coords(self.tids[k], tiles_x)
+        return ((px >= width) | (py >= height)).astype(jnp.float32)
+
+    def sub_t_done(self, k, state_t, state_done):
+        """Tile state (T, done) after applying sub-block k, given the
+        state after sub-block k−1 (reference drop-below-eps semantics)."""
+        rows = slice(k * SUB, (k + 1) * SUB)
+        t_aft = self.t_after[rows]
+        t_new = jnp.minimum(state_t, jnp.min(
+            jnp.where(self.alive[rows] > 0.0, t_aft, 2.0),
+            axis=0, keepdims=True))
+        done_new = jnp.maximum(
+            state_done, (t_aft[-1:, :] < T_EPS).astype(jnp.float32))
+        return t_new, done_new
+
+
+def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
                 *, tiles_x: int, width: int, height: int):
     s = pl.program_id(0)
 
-    # contrib columns are grouped 128 blocks per (128, 128) VMEM block; the
-    # buffer is zeroed at each 128-block window and each block accumulates
-    # its column through a one-hot lane mask (Mosaic forbids dynamic
-    # lane-index stores).
-    @pl.when(s % (128 // GROUP) == 0)
+    # contrib columns are grouped 128 sub-blocks per (SUB, 128) VMEM block;
+    # the buffer is zeroed at each 128-sub-block window and each sub-block
+    # accumulates its column through a one-hot lane mask (Mosaic forbids
+    # dynamic lane-index stores).
+    @pl.when(s % (128 // SPG) == 0)
     def _():
-        contrib_ref[:, :] = jnp.zeros((BLOCK, 128), jnp.float32)
+        contrib_ref[:, :] = jnp.zeros((SUB, 128), jnp.float32)
 
     for g in range(GROUP):
         b = s * GROUP + g
-        tile_id = bt_ref[b]
-        prev = bt_ref[jnp.maximum(b - 1, 0)]
-        first = (b == 0) | (tile_id != prev)
+        sb0 = b * NSUB
+        tids = [st_ref[sb0 + k] for k in range(NSUB)]
+        prev = st_ref[jnp.maximum(sb0 - 1, 0)]
+        nf = sb0 > 0
+        uniform = tids[0] == prev
+        for t in tids[1:]:
+            uniform = uniform & (t == prev)
+        done_all = (jnp.min(state_ref[O_DONE, :]) > 0.5) & uniform & nf
+        compute = (sv_ref[sb0] == 1) & jnp.logical_not(done_all)
 
-        @pl.when(first)
+        @pl.when(compute)
         def _():
-            state_ref[:] = _init_state(tile_id, tiles_x, width, height)
+            feat = payload_ref[g]                  # (BLOCK, NFEAT)
+            ctx = _BlockCtx(feat, tids, prev, nf,
+                            state_ref[O_T:O_T + 1, :],
+                            state_ref[O_DONE:O_DONE + 1, :],
+                            tiles_x, width, height)
+            wmax = jnp.max(ctx.w, axis=1, keepdims=True)   # (BLOCK, 1)
+            for k in range(NSUB):
+                sb = sb0 + k
+                rows = slice(k * SUB, (k + 1) * SUB)
+                first = (tids[k] != tids[k - 1]) if k > 0 else \
+                    ((tids[0] != prev) | jnp.logical_not(nf))
 
-        done_all = jnp.min(state_ref[O_DONE, :]) > 0.5
+                @pl.when(first)
+                def _():
+                    out = _init_state(tids[k], tiles_x, width, height)
+                    state_ref[:] = out
 
-        @pl.when((bv_ref[b] == 1) & jnp.logical_not(done_all))
+                acc = jnp.stack([
+                    jnp.sum(feat[rows, F_R + i:F_R + i + 1] * ctx.w[rows],
+                            axis=0)
+                    for i in range(5)], axis=0)    # (5, NPIX)
+                t_new, done_new = ctx.sub_t_done(
+                    k, state_ref[O_T:O_T + 1, :],
+                    state_ref[O_DONE:O_DONE + 1, :])
+                state_ref[O_R:O_ACC + 1, :] += acc
+                state_ref[O_T:O_T + 1, :] = t_new
+                state_ref[O_DONE:O_DONE + 1, :] = done_new
+                oh = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+                      == sb % 128).astype(jnp.float32)
+                contrib_ref[:, :] += wmax[rows] * oh
+                out_ref[g * NSUB + k] = state_ref[:]
+
+        @pl.when(jnp.logical_not(compute))
         def _():
-            feat = payload_ref[g]                   # (BLOCK, NFEAT)
-            px, py = _pixel_coords(tile_id, tiles_x)
-            t_in = state_ref[O_T:O_T + 1, :]        # (1, NPIX)
-            done = state_ref[O_DONE:O_DONE + 1, :]
-            acc, t_new, done_new, w = _block_forward(feat, px, py, t_in, done)
-            state_ref[O_R:O_ACC + 1, :] += acc
-            state_ref[O_T:O_T + 1, :] = t_new
-            state_ref[O_DONE:O_DONE + 1, :] = done_new
-            onehot = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                      == b % 128).astype(jnp.float32)
-            contrib_ref[:, :] += jnp.max(w, axis=1, keepdims=True) * onehot
-
-        # Dump the running tile state: the caller reads each tile's final
-        # state from its last block's slot.
-        out_ref[g] = state_ref[:]
+            for k in range(NSUB):
+                out_ref[g * NSUB + k] = state_ref[:]
 
 
-def _bwd_kernel(bt_ref, bv_ref, payload_ref, cst_ref, dpay_ref, state_ref,
-                *, tiles_x: int, width: int, height: int,
+def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
+                tiles_x: int, width: int, height: int,
                 image_only: bool = False):
+    cst_refs = rest[:SPG]                          # SPG × (1, 8, NPIX)
+    dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
     s = pl.program_id(0)
 
     dpay_ref[...] = jnp.zeros((GROUP, BLOCK, NFEAT), jnp.float32)
 
     for g in range(GROUP):
         b = s * GROUP + g
-        tile_id = bt_ref[b]
-        prev = bt_ref[jnp.maximum(b - 1, 0)]
-        first = (b == 0) | (tile_id != prev)
+        sb0 = b * NSUB
+        tids = [st_ref[sb0 + k] for k in range(NSUB)]
+        prev = st_ref[jnp.maximum(sb0 - 1, 0)]
+        nf = sb0 > 0
+        uniform = tids[0] == prev
+        for t in tids[1:]:
+            uniform = uniform & (t == prev)
+        done_all = (jnp.min(state_ref[1, :]) > 0.5) & uniform & nf
+        compute = (sv_ref[sb0] == 1) & jnp.logical_not(done_all)
 
-        @pl.when(first)
+        @pl.when(compute)
         def _():
-            full = _init_state(tile_id, tiles_x, width, height)
-            # rows: T_run=1, done=outside, prefix=0, pad
-            state_ref[:] = jnp.concatenate([
-                jnp.ones((1, NPIX), jnp.float32),
-                full[O_DONE:O_DONE + 1, :],
-                jnp.zeros((2, NPIX), jnp.float32)], axis=0)
+            feat = payload_ref[g]                  # (BLOCK, NFEAT)
+            ctx = _BlockCtx(feat, tids, prev, nf,
+                            state_ref[0:1, :], state_ref[1:2, :],
+                            tiles_x, width, height)
+            csts = [cst_refs[g * NSUB + k][0] for k in range(NSUB)]
 
-        done_all = jnp.min(state_ref[1, :]) > 0.5
+            t_i = ctx.t_in * ctx.cum_excl          # transmittance before i
+            w = ctx.w                              # (BLOCK, NPIX)
 
-        @pl.when((bv_ref[b] == 1) & jnp.logical_not(done_all))
-        def _():
-            feat = payload_ref[g]                   # (BLOCK, NFEAT)
-            cst = cst_ref[g]                        # (8, NPIX) bwd constants
-            px, py = _pixel_coords(tile_id, tiles_x)
-            alpha, alpha_raw, gsp, dx, dy, mask = _alpha_terms(feat, px, py)
+            gr = _sub_rows([c[C_GR:C_GR + 1, :] for c in csts])
+            gg = _sub_rows([c[C_GG:C_GG + 1, :] for c in csts])
+            gb = _sub_rows([c[C_GB:C_GB + 1, :] for c in csts])
 
-            t_in = state_ref[0:1, :]                # (1, NPIX)
-            done = state_ref[1:2, :]
-            p_carry = state_ref[2:3, :]
-            f, cum_incl, cum_excl, t_after = _prefix_products(alpha, t_in)
-
-            alive = (t_after >= T_EPS).astype(jnp.float32) * (1.0 - done)
-            t_i = t_in * cum_excl                   # transmittance before i
-            w = alpha * t_i * alive                 # (BLOCK, NPIX)
-
-            g_c = cst[C_GR:C_GB + 1, :]             # (3, NPIX)
-
-            phi = (feat[:, F_R:F_R + 1] * g_c[0:1, :]
-                   + feat[:, F_G:F_G + 1] * g_c[1:2, :]
-                   + feat[:, F_B:F_B + 1] * g_c[2:3, :])  # (BLOCK, NPIX)
+            phi = (feat[:, F_R:F_R + 1] * gr
+                   + feat[:, F_G:F_G + 1] * gg
+                   + feat[:, F_B:F_B + 1] * gb)    # (BLOCK, NPIX)
             if not image_only:
-                g_d = cst[C_GD:C_GD + 1, :]
-                g_a = cst[C_GA:C_GA + 1, :]
-                phi = phi + feat[:, F_DEPTH:F_DEPTH + 1] * g_d
-                phi = phi + feat[:, F_PSIZE:F_PSIZE + 1] * g_a
+                gd = _sub_rows([c[C_GD:C_GD + 1, :] for c in csts])
+                ga = _sub_rows([c[C_GA:C_GA + 1, :] for c in csts])
+                phi = phi + feat[:, F_DEPTH:F_DEPTH + 1] * gd
+                phi = phi + feat[:, F_PSIZE:F_PSIZE + 1] * ga
 
-            wphi = w * phi
-            prefix = p_carry + _cumsum_entries(wphi)  # inclusive
+            # Per-run wphi prefix with the carried-run offset.
+            p_rows = jnp.where(ctx.carried, state_ref[2:3, :], 0.0)
+            prefix = p_rows + _cumsum_entries(w * phi, ctx.run_tri)
 
-            suffix = (cst[C_TPHI:C_TPHI + 1, :] - prefix
-                      + cst[C_TFGT:C_TFGT + 1, :])
+            sfx_c = _sub_rows([
+                c[C_TPHI:C_TPHI + 1, :] + c[C_TFGT:C_TFGT + 1, :]
+                for c in csts])
+            suffix = sfx_c - prefix
 
-            d_alpha = (t_i * phi - suffix / f) * alive * \
-                mask.astype(jnp.float32)
-            unclamped = (alpha_raw < ALPHA_MAX).astype(jnp.float32)
-            d_power = d_alpha * alpha * unclamped
-            d_op = jnp.sum(d_alpha * gsp * unclamped, axis=1)    # (BLOCK,)
+            d_alpha = (t_i * phi - suffix / ctx.f) * ctx.alive * \
+                ctx.mask.astype(jnp.float32)
+            unclamped = (ctx.alpha_raw < ALPHA_MAX).astype(jnp.float32)
+            d_power = d_alpha * ctx.alpha * unclamped
+            d_op = jnp.sum(d_alpha * ctx.gsp * unclamped, axis=1)
 
             cxx = feat[:, F_CXX:F_CXX + 1]
             cxy = feat[:, F_CXY:F_CXY + 1]
             cyy = feat[:, F_CYY:F_CYY + 1]
+            dx, dy = ctx.dx, ctx.dy
             ddx = d_power * (-(cxx * dx + cxy * dy))
             ddy = d_power * (-(cyy * dy + cxy * dx))
             d_mx = -jnp.sum(ddx, axis=1)
@@ -295,8 +429,8 @@ def _bwd_kernel(bt_ref, bv_ref, payload_ref, cst_ref, dpay_ref, state_ref,
             d_cyy = jnp.sum(d_power * (-0.5 * dy * dy), axis=1)
 
             d_colors = jnp.stack([
-                jnp.sum(w * g_c[i:i + 1, :], axis=1) for i in range(3)],
-                axis=1)                             # (BLOCK, 3)
+                jnp.sum(w * gc, axis=1) for gc in (gr, gg, gb)],
+                axis=1)                            # (BLOCK, 3)
 
             # Column stores — natural in the entry-major layout.
             dpay_ref[g, :, F_MX] = d_mx
@@ -309,40 +443,51 @@ def _bwd_kernel(bt_ref, bv_ref, payload_ref, cst_ref, dpay_ref, state_ref,
             dpay_ref[g, :, F_G] = d_colors[:, 1]
             dpay_ref[g, :, F_B] = d_colors[:, 2]
             if not image_only:
-                dpay_ref[g, :, F_DEPTH] = jnp.sum(w * g_d, axis=1)
-                dpay_ref[g, :, F_PSIZE] = jnp.sum(w * g_a, axis=1)
+                dpay_ref[g, :, F_DEPTH] = jnp.sum(w * gd, axis=1)
+                dpay_ref[g, :, F_PSIZE] = jnp.sum(w * ga, axis=1)
 
-            # Advance per-tile state exactly as the forward pass does.
-            t_new = jnp.min(jnp.where(alive > 0.0, t_after, t_in), axis=0,
-                            keepdims=True)
-            done_new = jnp.maximum(
-                done, (t_after[BLOCK - 1:, :] < T_EPS).astype(jnp.float32))
-            state_ref[0:1, :] = t_new
-            state_ref[1:2, :] = done_new
-            state_ref[2:3, :] = prefix[BLOCK - 1:, :]
+            # Advance the per-tile state exactly as the forward pass does.
+            for k in range(NSUB):
+                first = (tids[k] != tids[k - 1]) if k > 0 else \
+                    ((tids[0] != prev) | jnp.logical_not(nf))
+
+                @pl.when(first)
+                def _():
+                    state_ref[0:1, :] = jnp.ones((1, NPIX), jnp.float32)
+                    state_ref[1:2, :] = ctx.sub_outside(
+                        k, tiles_x, width, height)
+                    state_ref[2:3, :] = jnp.zeros((1, NPIX), jnp.float32)
+
+                t_new, done_new = ctx.sub_t_done(
+                    k, state_ref[0:1, :], state_ref[1:2, :])
+                state_ref[0:1, :] = t_new
+                state_ref[1:2, :] = done_new
+                state_ref[2:3, :] = prefix[(k + 1) * SUB - 1:
+                                           (k + 1) * SUB, :]
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _composite_fwd_call(payload, block_tile, block_valid, tile_last_block,
+def _composite_fwd_call(payload, sub_tile, sub_valid, tile_last_sub,
                         tiles: int, tiles_x: int, width: int, height: int):
     b_cap = payload.shape[0]
-    assert b_cap % max(GROUP, 128) == 0, \
-        "entry capacity must cover whole block groups"
+    s_cap = b_cap * NSUB
+    assert s_cap % max(SPG, 128) == 0, \
+        "entry capacity must cover whole sub-block groups"
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b_cap // GROUP,),
         in_specs=[
-            pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, bt, bv: (s, 0, 0),
+            pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((GROUP, NOUT, NPIX), lambda s, bt, bv: (s, 0, 0),
+            pl.BlockSpec((SPG, NOUT, NPIX), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 128),
-                         lambda s, bt, bv: (0, s // (128 // GROUP)),
+            pl.BlockSpec((SUB, 128),
+                         lambda s, st, sv: (0, s // (128 // SPG)),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((NOUT, NPIX), jnp.float32)],
@@ -352,16 +497,16 @@ def _composite_fwd_call(payload, block_tile, block_valid, tile_last_block,
                           height=height),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b_cap, NOUT, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((BLOCK, b_cap), jnp.float32),
+            jax.ShapeDtypeStruct((s_cap, NOUT, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((SUB, s_cap), jnp.float32),
         ],
         interpret=_interpret(),
-    )(block_tile, block_valid, payload)
-    tiles_out = states[jnp.clip(tile_last_block, 0, b_cap - 1)]
+    )(sub_tile, sub_valid, payload)
+    tiles_out = states[jnp.clip(tile_last_sub, 0, s_cap - 1)]
     return tiles_out, contrib
 
 
-def _composite_bwd_call(payload, block_tile, block_valid, res, cot,
+def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
                         tiles_x: int, width: int, height: int,
                         image_only: bool = False):
     b_cap = payload.shape[0]
@@ -379,19 +524,24 @@ def _composite_bwd_call(payload, block_tile, block_valid, res, cot,
         cot[:, O_ACC:O_ACC + 1, :],
         total_phi, tf_gt,
         jnp.zeros_like(tf_gt)], axis=1)             # (T, 8, NPIX)
-    cst_b = cst_t[block_tile]                       # (B_cap, 8, NPIX)
+    # The kernel pulls each sub-block's constant rows straight from the
+    # small (T, 8, NPIX) table with scalar-prefetched dynamic index maps —
+    # no (S_cap, 8, NPIX) materialization.
+    def cst_spec(j):
+        return pl.BlockSpec(
+            (1, 8, NPIX),
+            lambda s, st, sv, j=j: (st[s * SPG + j], 0, 0),
+            memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b_cap // GROUP,),
         in_specs=[
-            pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, bt, bv: (s, 0, 0),
+            pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, 8, NPIX), lambda s, bt, bv: (s, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + [cst_spec(j) for j in range(SPG)],
         out_specs=[
-            pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, bt, bv: (s, 0, 0),
+            pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((4, NPIX), jnp.float32)],
@@ -402,55 +552,56 @@ def _composite_bwd_call(payload, block_tile, block_valid, res, cot,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
         interpret=_interpret(),
-    )(block_tile, block_valid, payload, cst_b)
+    )(sub_tile, sub_valid, payload, *([cst_t] * SPG))
     return dpay
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def composite(payload, block_tile, block_valid, tile_last_block, tiles: int,
+def composite(payload, sub_tile, sub_valid, tile_last_sub, tiles: int,
               tiles_x: int, width: int, height: int,
               image_only: bool = False
               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite packed splat blocks into per-tile images.
 
-    payload: (B_cap, BLOCK, NFEAT) f32 — blocked, depth-sorted, tile-aligned.
+    payload: (B_cap, BLOCK, NFEAT) f32 — blocked, depth-sorted, with every
+    SUB-entry sub-block owned by exactly one tile.
     With `image_only`, depth/acc/T cotangents are treated as structurally
     zero in the backward pass (the reference's training grad contract).
-    Returns (tiles_out (T, NOUT, 256), contrib (BLOCK, B_cap)).
+    Returns (tiles_out (T, NOUT, 256), contrib (SUB, S_cap)).
     """
-    return _composite_fwd_call(payload, block_tile, block_valid,
-                               tile_last_block, tiles, tiles_x, width, height)
+    return _composite_fwd_call(payload, sub_tile, sub_valid,
+                               tile_last_sub, tiles, tiles_x, width, height)
 
 
-def _composite_fwd(payload, block_tile, block_valid, tile_last_block, tiles,
+def _composite_fwd(payload, sub_tile, sub_valid, tile_last_sub, tiles,
                    tiles_x, width, height, image_only):
-    out = _composite_fwd_call(payload, block_tile, block_valid,
-                              tile_last_block, tiles, tiles_x, width, height)
-    return out, (payload, block_tile, block_valid, out[0])
+    out = _composite_fwd_call(payload, sub_tile, sub_valid,
+                              tile_last_sub, tiles, tiles_x, width, height)
+    return out, (payload, sub_tile, sub_valid, out[0])
 
 
 def _composite_bwd(tiles, tiles_x, width, height, image_only, residuals,
                    cotangents):
-    payload, block_tile, block_valid, res = residuals
+    payload, sub_tile, sub_valid, res = residuals
     g_tiles, _g_contrib = cotangents
-    dpay = _composite_bwd_call(payload, block_tile, block_valid, res,
+    dpay = _composite_bwd_call(payload, sub_tile, sub_valid, res,
                                g_tiles, tiles_x, width, height,
                                image_only=image_only)
 
     def _f0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
-    return dpay, _f0(block_tile), _f0(block_valid), _f0(block_tile)
+    return dpay, _f0(sub_tile), _f0(sub_valid), _f0(sub_tile)
 
 
 composite.defvjp(_composite_fwd, _composite_bwd)
 
 
-def composite_reference(payload, block_tile, block_valid, tile_last_block,
+def composite_reference(payload, sub_tile, sub_valid, tile_last_sub,
                         tiles: int, tiles_x: int, width: int, height: int,
                         image_only: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pure-jnp gold oracle: a `lax.scan` over blocks sharing
+    """Pure-jnp gold oracle: a `lax.scan` over sub-blocks sharing
     `_block_forward` with the Pallas kernel — identical arithmetic and
     early-out semantics, differentiable end-to-end via autodiff. The
     correctness reference for values and gradients (BASELINE.md config 1)
@@ -458,23 +609,24 @@ def composite_reference(payload, block_tile, block_valid, tile_last_block,
     state0 = jax.vmap(
         lambda t: _init_state(t, tiles_x, width, height))(
             jnp.arange(tiles, dtype=jnp.int32))
+    payload_sub = payload.reshape(-1, SUB, NFEAT)    # (S_cap, SUB, NFEAT)
 
     def step(state, inp):
-        feat, bt, bv = inp                           # feat: (BLOCK, NFEAT)
-        tile_state = state[bt]                       # (NOUT, NPIX)
-        px, py = _pixel_coords(bt, tiles_x)
+        feat, st, sv = inp                           # feat: (SUB, NFEAT)
+        tile_state = state[st]                       # (NOUT, NPIX)
+        px, py = _pixel_coords(st, tiles_x)
         t_in = tile_state[O_T:O_T + 1, :]
         done = tile_state[O_DONE:O_DONE + 1, :]
         acc, t_new, done_new, w = _block_forward(feat, px, py, t_in, done)
         new_tile = tile_state.at[O_R:O_ACC + 1, :].add(acc)
         new_tile = new_tile.at[O_T:O_T + 1, :].set(t_new)
         new_tile = new_tile.at[O_DONE:O_DONE + 1, :].set(done_new)
-        live = (bv == 1).astype(jnp.float32)
+        live = (sv == 1).astype(jnp.float32)
         new_tile = tile_state + live * (new_tile - tile_state)
-        state = state.at[bt].set(new_tile)
-        contrib = jnp.max(w, axis=1) * live          # (BLOCK,)
+        state = state.at[st].set(new_tile)
+        contrib = jnp.max(w, axis=1) * live          # (SUB,)
         return state, contrib
 
     state, contrib = jax.lax.scan(
-        step, state0, (payload, block_tile, block_valid))
-    return state, contrib.T                          # (BLOCK, B_cap)
+        step, state0, (payload_sub, sub_tile, sub_valid))
+    return state, contrib.T                          # (SUB, S_cap)

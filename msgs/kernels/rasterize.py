@@ -216,8 +216,8 @@ def composite_pipeline(pre, width: int, height: int,
 
     backend = _resolve_backend(settings.backend)
     fn = comp.composite if backend == "pallas" else comp.composite_reference
-    tiles_out, contrib = fn(payload, binned.block_tile, binned.block_valid,
-                            binned.tile_last_block, tiles, tiles_x, width,
+    tiles_out, contrib = fn(payload, binned.sub_tile, binned.sub_valid,
+                            binned.tile_last_sub, tiles, tiles_x, width,
                             height, settings.image_grads_only)
 
     # tiles_out: (T, NOUT, 256) channel-major → (H, W, NOUT).

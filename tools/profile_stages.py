@@ -101,16 +101,16 @@ def main():
     tiles_x = (W + 15) // 16
     tiles = tiles_x * ((H + 15) // 16)
     timeit("composite fwd", lambda p, bt, bv, tlb: comp.composite(
-        p, bt, bv, tlb, tiles, tiles_x, W, H), payload, binned.block_tile,
-        binned.block_valid, binned.tile_last_block)
+        p, bt, bv, tlb, tiles, tiles_x, W, H), payload, binned.sub_tile,
+        binned.sub_valid, binned.tile_last_sub)
 
     def bwd_f(p, bt, bv, tlb):
         def g(p):
             o, c = comp.composite(p, bt, bv, tlb, tiles, tiles_x, W, H)
             return jnp.sum(o[:, :5])
         return jax.grad(g)(p)
-    timeit("composite fwd+bwd", bwd_f, payload, binned.block_tile,
-           binned.block_valid, binned.tile_last_block)
+    timeit("composite fwd+bwd", bwd_f, payload, binned.sub_tile,
+           binned.sub_valid, binned.tile_last_sub)
 
     def full_fwd(m, s, q, o, c):
         return rz.rasterize(cam, m, o, colors_precomp=c, scales=s, quats=q,
