@@ -108,19 +108,43 @@ def load_cfg(model_path: str) -> dict:
     return {}
 
 
+def _explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
+    """Dests of the options actually present on the command line — the only
+    reliable way to tell an explicitly-passed default value from an untouched
+    one (value comparison can't; the reference shares that bug,
+    arguments/__init__.py:91-111)."""
+    opt_to_dest = {}
+    for action in parser._actions:
+        for opt in action.option_strings:
+            opt_to_dest[opt] = action.dest
+    dests = set()
+    for tok in argv:
+        if not tok.startswith("-"):
+            continue
+        opt = tok.split("=", 1)[0]
+        if opt in opt_to_dest:
+            dests.add(opt_to_dest[opt])
+        elif opt.startswith("--"):
+            # argparse accepts unambiguous long-option abbreviations
+            hits = {d for o, d in opt_to_dest.items() if o.startswith(opt)}
+            if len(hits) == 1:
+                dests.add(hits.pop())
+    return dests
+
+
 def get_combined_args(parser: argparse.ArgumentParser,
                       argv=None) -> argparse.Namespace:
     """CLI over persisted training config (arguments/__init__.py:91-111):
-    values explicitly passed on the command line win; everything else falls
-    back to the model dir's saved config."""
+    options explicitly present on the command line win (even when passed
+    with their default value); everything else falls back to the model
+    dir's saved config, then to the parser defaults."""
+    import sys
     args = parser.parse_args(argv)
+    eff_argv = sys.argv[1:] if argv is None else list(argv)
+    explicit = _explicit_dests(parser, eff_argv)
     saved = load_cfg(getattr(args, "model_path", "") or "")
-    defaults = parser.parse_args([] if argv is None else
-                                 [a for a in []])
-    merged = vars(defaults).copy()
-    merged.update({k: v for k, v in saved.items() if k in merged})
-    # explicit CLI values override saved
-    for k, v in vars(args).items():
-        if k not in merged or v != getattr(defaults, k, None):
+    merged = vars(args).copy()
+    for k, v in saved.items():
+        if k in merged and k not in explicit:
             merged[k] = v
     return argparse.Namespace(**merged)

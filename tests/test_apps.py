@@ -113,3 +113,38 @@ def test_render_and_metrics_cli(synthetic_scene, tmp_path):
     results = json.load(open(os.path.join(out, "results.json")))
     assert "ours_10" in results
     assert np.isfinite(results["ours_10"]["PSNR"])
+
+
+def test_get_combined_args_explicit_default_wins(tmp_path):
+    """An explicitly-passed flag must beat the saved config even when its
+    value equals the parser default (the reference's value-comparison merge
+    cannot tell these apart — arguments/__init__.py:91-111)."""
+    import argparse
+
+    from msgs.apps.config import get_combined_args, save_cfg
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", type=str, default="")
+    parser.add_argument("--resolution", type=int, default=-1)
+    parser.add_argument("--sh_degree", type=int, default=3)
+
+    model = tmp_path / "model"
+    model.mkdir()
+    saved = argparse.Namespace(model_path=str(model), resolution=4,
+                               sh_degree=2)
+    save_cfg(str(model), saved)
+
+    # No explicit flags: saved config wins over defaults.
+    a = get_combined_args(parser, ["--model_path", str(model)])
+    assert a.resolution == 4 and a.sh_degree == 2
+
+    # Explicit flag AT the default value: CLI must win over saved.
+    a = get_combined_args(
+        parser, ["--model_path", str(model), "--resolution", "-1"])
+    assert a.resolution == -1
+    assert a.sh_degree == 2  # untouched option still falls back to saved
+
+    # Explicit non-default beats saved too.
+    a = get_combined_args(
+        parser, ["--model_path", str(model), "--sh_degree", "1"])
+    assert a.sh_degree == 1 and a.resolution == 4

@@ -52,6 +52,24 @@ def build_gt_model(n: int, rng):
     cols.append(wcol)
     scales.append(np.full((len(wall), 3), [0.1, 0.1, 0.02]))
 
+    # Fine-texture board: a dense grid of tiny high-frequency colored
+    # Gaussians on a tilted plane — sub-pixel at coarse render scales, the
+    # aliasing source that filter_small / insert_large exist for.
+    fb = int(math.sqrt(n * 0.25))
+    fu, fv = np.meshgrid(np.linspace(-1.4, 1.4, fb),
+                         np.linspace(-0.9, 0.9, fb))
+    board = np.stack([fu + 2.2, 0.3 + fv * 0.9 + 0.25 * fu,
+                      2.6 - 0.35 * fu], -1).reshape(-1, 3)
+    fcheck = ((fu * 14).astype(int) + (fv * 14).astype(int)) % 2
+    rainbow = np.stack([0.5 + 0.5 * np.sin(fu * 9),
+                        0.5 + 0.5 * np.cos(fv * 11),
+                        0.5 + 0.5 * np.sin((fu + fv) * 7)], -1)
+    bcol = np.where(fcheck.reshape(-1, 1) > 0,
+                    rainbow.reshape(-1, 3), 1.0 - rainbow.reshape(-1, 3))
+    pts.append(board)
+    cols.append(np.clip(bcol, 0, 1))
+    scales.append(np.full((len(board), 3), [0.018, 0.018, 0.008]))
+
     # Detail clusters: dense colorful blobs at 3 spots.
     remaining = n - sum(len(p) for p in pts)
     centers = np.array([[-1.5, 0.0, 1.0], [1.5, 0.3, 0.0], [0.0, 0.8, 2.0]])
@@ -75,10 +93,10 @@ def build_gt_model(n: int, rng):
     return pts, cols, scales, quats, opac
 
 
-def ring_cameras(n_views, radius=6.0, height=1.2, fov=0.85):
+def ring_cameras(n_views, radius=6.0, height=1.2, fov=0.85, phase=0.0):
     out = []
     for i in range(n_views):
-        ang = 2 * math.pi * i / n_views
+        ang = 2 * math.pi * (i + phase) / n_views
         pos = np.array([radius * math.sin(ang), height,
                         -radius * math.cos(ang) + 0.5])
         target = np.array([0.0, 0.0, 0.5])
@@ -98,6 +116,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("--n_views", type=int, default=24)
+    ap.add_argument("--n_test", type=int, default=8,
+                    help="held-out test views at offset ring angles")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--n_gaussians", type=int, default=20000)
@@ -121,6 +141,7 @@ def main():
     settings = RasterSettings(backend=backend, entry_cap=1 << 20)
 
     os.makedirs(os.path.join(args.out_dir, "train"), exist_ok=True)
+    os.makedirs(os.path.join(args.out_dir, "test"), exist_ok=True)
     cams = ring_cameras(args.n_views)
 
     @jax.jit
@@ -133,25 +154,32 @@ def main():
                         bg=jnp.array([0.6, 0.7, 0.9]), settings=settings)
         return out.image
 
-    frames = []
-    for i, (R, T, fov) in enumerate(cams):
-        cam = make_camera(R, T, fov, fov, args.width, args.height)
-        img = render(cam.world_view, cam.full_proj, cam.cam_center,
-                     cam.tanfovx, cam.tanfovy)
-        img = np.clip(np.asarray(img), 0, 1)
-        imageio.imwrite(
-            os.path.join(args.out_dir, "train", f"r_{i}.png"),
-            (img * 255).astype(np.uint8))
-        c2w = np.linalg.inv(np.block([
-            [R.T, T[:, None]], [np.zeros((1, 3)), np.ones((1, 1))]]))
-        c2w[:3, 1:3] *= -1      # to OpenGL convention for the loader
-        frames.append({"file_path": f"./train/r_{i}",
-                       "transform_matrix": c2w.tolist()})
-        if i % 8 == 0:
-            print(f"rendered view {i}/{len(cams)}")
+    def render_split(split, split_cams):
+        frames = []
+        for i, (R, T, fov) in enumerate(split_cams):
+            cam = make_camera(R, T, fov, fov, args.width, args.height)
+            img = render(cam.world_view, cam.full_proj, cam.cam_center,
+                         cam.tanfovx, cam.tanfovy)
+            img = np.clip(np.asarray(img), 0, 1)
+            imageio.imwrite(
+                os.path.join(args.out_dir, split, f"r_{i}.png"),
+                (img * 255).astype(np.uint8))
+            c2w = np.linalg.inv(np.block([
+                [R.T, T[:, None]], [np.zeros((1, 3)), np.ones((1, 1))]]))
+            c2w[:3, 1:3] *= -1   # to OpenGL convention for the loader
+            frames.append({"file_path": f"./{split}/r_{i}",
+                           "transform_matrix": c2w.tolist()})
+            if i % 8 == 0:
+                print(f"rendered {split} view {i}/{len(split_cams)}")
+        with open(os.path.join(args.out_dir,
+                               f"transforms_{split}.json"), "w") as f:
+            json.dump({"camera_angle_x": split_cams[0][2], "frames": frames},
+                      f)
 
-    with open(os.path.join(args.out_dir, "transforms_train.json"), "w") as f:
-        json.dump({"camera_angle_x": cams[0][2], "frames": frames}, f)
+    render_split("train", cams)
+    # Held-out views: same ring at half-step offset angles (never seen in
+    # training).
+    render_split("test", ring_cameras(args.n_test, phase=0.45))
 
     # Noisy SfM-like init cloud: subsampled GT positions + noise.
     keep = rng.choice(len(pts), min(len(pts) // 4, 20000), replace=False)
