@@ -458,6 +458,15 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
     from msgs.train import loop as L
 
     final = iteration >= getattr(args, "iterations", 10 ** 9)
+    lpips = None
+    if final:
+        # LPIPS at the final iteration only, like the reference
+        # (train.py:456-461) — gated on exported weights being present.
+        try:
+            from msgs.eval.lpips_jax import lpips_fn
+            lpips = lpips_fn()
+        except Exception:
+            lpips = None
     # Eval scales may differ from train scales (ms_test_scales, train.py:52-56);
     # the appearance-bucket level for an arbitrary scale is its log2 round.
     eval_scales = getattr(args, "ms_test_scales", None) or sched.scales
@@ -470,7 +479,7 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
         for scale in eval_scales:
             lvl = min(max(int(round(math.log2(max(scale, 1)))), 0),
                       sched.reso_lvls - 1)
-            l1s, psnrs, ssims, times = [], [], [], []
+            l1s, psnrs, ssims, lpipss, times = [], [], [], [], []
             # Untimed warm-up so compile doesn't pollute render_ms.
             L.eval_render(state, views[0].camera(scale), cfg=cfg,
                           settings=settings, reso_lvl=lvl,
@@ -490,11 +499,15 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
                     # SSIM (+LPIPS when weights exist) at the final iteration
                     # only, like the reference (train.py:456-461).
                     ssims.append(float(ssim(img, gt)))
+                    if lpips is not None:
+                        lpipss.append(float(lpips(img, gt)))
             entry = {
                 "l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs)),
                 "render_ms": float(np.mean(times) * 1000)}
             if ssims:
                 entry["ssim"] = float(np.mean(ssims))
+            if lpipss:
+                entry["lpips"] = float(np.mean(lpipss))
             report[f"{split}_s{scale}"] = entry
             print(f"[eval {iteration}] {split} x{scale}: "
                   f"psnr {np.mean(psnrs):.2f} l1 {np.mean(l1s):.4f} "

@@ -84,8 +84,10 @@ def build_lpips(weights: dict) -> Callable:
         total = 0.0
         for f1, f2, lw in zip(fa, fb, lins):
             d = (_unit_normalize(f1) - _unit_normalize(f2)) ** 2
-            total = total + jnp.mean(jnp.sum(d * jnp.maximum(lw, 0.0),
-                                             axis=-1))
+            # lw: (1, 1, c, 1) 1×1 conv head → per-channel weights,
+            # clamped non-negative like the reference's NetLinLayer use.
+            wch = jnp.maximum(lw.reshape(-1), 0.0)
+            total = total + jnp.mean(jnp.sum(d * wch, axis=-1))
         return total
 
     return lpips

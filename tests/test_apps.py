@@ -148,3 +148,38 @@ def test_get_combined_args_explicit_default_wins(tmp_path):
     a = get_combined_args(
         parser, ["--model_path", str(model), "--sh_degree", "1"])
     assert a.sh_degree == 1 and a.resolution == 4
+
+
+def test_collect_result_images_cli(synthetic_scene, tmp_path):
+    """Per-image comparison-figure tool (reference
+    utils/collect_result_images.py analogue): trains two tiny 'methods',
+    then asserts labeled grids + the per-image PSNR CSV land on disk."""
+    import csv
+
+    from msgs.apps import collect_result_images as cri_app
+    from msgs.apps import train as train_app
+
+    root = str(tmp_path / "scene1")
+    for method in ("base", "ms"):
+        train_app.main([
+            "-s", synthetic_scene, "-m", os.path.join(root, method),
+            "--iterations", "10", "--capacity", "256", "--entry_cap", "4096",
+            "--backend", "reference", "--test_interval", "0",
+            "--test_iterations", "-1", "--save_iterations", "10",
+            "--sh_degree", "0", "--quiet"])
+
+    cri_app.main(["-m", root, "--scales", "1", "4", "--views", "0",
+                  "--backend", "reference", "--entry_cap", "4096"])
+
+    fig = os.path.join(root, "figures", "view000.png")
+    assert os.path.exists(fig)
+    import imageio.v2 as imageio
+    img = imageio.imread(fig)
+    assert img.ndim == 3 and img.shape[0] > 8 and img.shape[1] > 8
+
+    with open(os.path.join(root, "figures", "per_image_psnr.csv")) as f:
+        rows = list(csv.reader(f))
+    # header + 2 scales x 2 methods
+    assert rows[0] == ["view", "scale", "method", "psnr"]
+    assert len(rows) == 1 + 4
+    assert all(np.isfinite(float(r[3])) for r in rows[1:])
