@@ -21,7 +21,11 @@ A100_BASELINE_PIX_S = 138e6   # ~15 ms fwd+bwd @ 1080p (documented estimate)
 
 W, H = 1920, 1080
 N = 100_000
-ENTRY_CAP = 1 << 21
+# ~1.44M real entries at this workload; 1.5M + the binner's per-tile padding
+# keeps ~10% headroom without paying sort/composite time for dead capacity
+# (the trainer sizes its cap the same way: measured load + margin, grown on
+# overflow).
+ENTRY_CAP = 1_572_864
 
 
 def main():

@@ -9,8 +9,8 @@ SUB=32 — 4× less padding than 128-alignment, and ~20% fewer wasted
 entry×pixel pairs). The kernel still runs a 1-D grid over groups of
 128-entry payload blocks: the heavy per-pair math (alpha eval,
 transcendentals, prefix products) executes at full 128-row width with the
-prefix matrix masked to same-tile runs (`_run_tri`) and per-row incoming
-state selected between the carried scratch state and a fresh tile; only
+prefix scan masked to same-tile runs (`_seg_cumsum_rows`) and per-row
+incoming state selected between the carried scratch state and a fresh tile; only
 the cheap bookkeeping (feature accumulation, T/done updates, state dumps)
 iterates per sub-block. TPU grids execute sequentially on one core, so the
 running tile state lives in VMEM scratch across steps. After each
@@ -21,15 +21,16 @@ histogram).
 
 Register layout: **entries live on sublanes (128), pixels on lanes (256)** —
 per-entry constants broadcast as (128, 1) columns, per-pixel state packs into
-dense (1, 256) / (8, 256) rows, prefix products are (128, 128) left-matmuls
-on the MXU, and every per-entry gradient lands as a natural (128, 1) column
-store. No strided sub-lane-width accesses anywhere.
+dense (1, 256) / (8, 256) rows, prefix products are static sublane-shift
+scans on the VPU, and every per-entry gradient lands as a natural (128, 1)
+column store. No strided sub-lane-width accesses anywhere.
 
 Within a block the sequential front-to-back recurrence
     C += T·α·c ;  T *= (1−α)
 is reformulated with prefix products: cum_i = Π_{j≤i}(1−α_j) computed as
-exp(L·log(1−α)) with a lower-triangular ones matrix on the MXU; weights
-w_i = α_i·T_in·cum_{i−1} come out all at once. The reference CUDA early-out
+exp(segmented-Hillis-Steele(log(1−α))) — a run-masked VPU scan over the
+sublane axis (`_seg_cumsum_rows`); weights w_i = α_i·T_in·cum_{i−1} come
+out all at once. The reference CUDA early-out
 semantics (skip α<1/255; a splat that would push T below 1e-4 is dropped and
 the pixel is done — SURVEY.md §2.3 step 3) are reproduced exactly via
 prefix-monotone alive masks and a sticky done flag; fully-done tiles skip
@@ -109,35 +110,30 @@ def _alpha_terms(feat, px, py):
     return alpha, alpha_raw, g, dx, dy, mask
 
 
-def _tri_lower(n: int):
-    """(n, n) lower-triangular ones (incl. diagonal): left-matmul gives an
-    inclusive prefix sum along the entry (sublane) axis."""
-    return (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-            >= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-            ).astype(jnp.float32)
+def _seg_cumsum_rows(x, tid_col):
+    """Inclusive segmented prefix sum along axis 0 (entries / sublanes).
 
+    x: (B, NPIX); tid_col: (B, 1) f32 run labels (tile ids) — the sum never
+    crosses a run boundary. Hillis-Steele with static sublane shifts on the
+    VPU: ~4× cheaper than the earlier triangular-MXU-matmul design (three
+    bf16-split (128,128)·(128,256) dots per call dominated the compositor),
+    exact f32 with no bf16 splits, and the run masking is free (a (B,1)
+    label compare per step replaces the masked triangle matrix).
 
-def _cumsum_entries(x, tri=None):
-    """Inclusive prefix sum along axis 0 (entries) via MXU matmuls — Mosaic
-    has no cumsum lowering, and only DEFAULT/HIGHEST dot precisions.
-
-    Single-pass MXU matmuls round inputs to bf16; the triangular side is 0/1
-    (bf16-exact), so splitting x into three bf16 terms recovers full f32
-    fidelity in 3 passes (vs 6 for HIGHEST). An explicit `tri` (e.g. masked
-    to same-tile runs) overrides the plain lower-triangle."""
-    if tri is None:
-        tri = _tri_lower(x.shape[0])
-
-    def dot(a):
-        return jax.lax.dot_general(
-            tri, a, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-
-    x0 = x.astype(jnp.bfloat16).astype(jnp.float32)
-    r = x - x0
-    x1 = r.astype(jnp.bfloat16).astype(jnp.float32)
-    x2 = r - x1
-    return dot(x0) + dot(x1) + dot(x2)
+    Parity invariant: the addition tree for an element depends only on its
+    offset within its run, so the jnp oracle's SUB-row pass over one run
+    reproduces the kernel's 128-row masked pass bit-for-bit."""
+    B = x.shape[0]
+    y = x
+    k = 1
+    while k < B:
+        pad_x = jnp.zeros((k,) + x.shape[1:], x.dtype)
+        pad_t = jnp.full((k, 1), -1.0, tid_col.dtype)
+        ysh = jnp.concatenate([pad_x, y[:-k]], axis=0)
+        tsh = jnp.concatenate([pad_t, tid_col[:-k]], axis=0)
+        y = y + jnp.where(tid_col == tsh, ysh, 0.0)
+        k *= 2
+    return y
 
 
 def _prefix_products(alpha, t_in):
@@ -147,7 +143,8 @@ def _prefix_products(alpha, t_in):
     """
     f = 1.0 - alpha
     logf = jnp.log(f)
-    cum_incl = jnp.exp(_cumsum_entries(logf))
+    one_run = jnp.zeros((alpha.shape[0], 1), jnp.float32)
+    cum_incl = jnp.exp(_seg_cumsum_rows(logf, one_run))
     cum_excl = cum_incl / f
     t_after = t_in * cum_incl                     # T if entries ≤ i applied
     return f, cum_incl, cum_excl, t_after
@@ -206,15 +203,6 @@ def _sub_rows(rows):
         [jnp.broadcast_to(r, (SUB, NPIX)) for r in rows], axis=0)
 
 
-def _run_tri(tid_col):
-    """Lower-triangular ones masked to same-tile runs: left-matmul gives
-    per-run inclusive prefixes that never cross a tile boundary. tid_col:
-    (BLOCK, 1) f32. 0/1 entries are bf16-exact, so the 3-split cumsum
-    stays f32-faithful."""
-    eq = (tid_col == jnp.transpose(tid_col)).astype(jnp.float32)
-    return _tri_lower(BLOCK) * eq
-
-
 class _BlockCtx:
     """Per-128-block shared fwd/bwd math with intra-block tile runs.
 
@@ -234,7 +222,7 @@ class _BlockCtx:
         # Bool select (never an arithmetic blend): the scratch state is
         # garbage before the first real tile, and 0·NaN would poison it.
         carried = (tid_col == prev_f) & not_first   # (BLOCK, 1) bool
-        self.run_tri = _run_tri(tid_col)
+        self.tid_col = tid_col
 
         pxl, pyl = _local_pix()                    # (1, NPIX)
         mxl = feat[:, F_MX:F_MX + 1] - ox_col      # (BLOCK, 1)
@@ -254,7 +242,7 @@ class _BlockCtx:
         alpha = jnp.where(mask, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
 
         f = 1.0 - alpha
-        cum_incl = jnp.exp(_cumsum_entries(jnp.log(f), self.run_tri))
+        cum_incl = jnp.exp(_seg_cumsum_rows(jnp.log(f), tid_col))
         cum_excl = cum_incl / f
 
         # Per-row incoming transmittance/done: a carried run continues the
@@ -403,7 +391,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
 
             # Per-run wphi prefix with the carried-run offset.
             p_rows = jnp.where(ctx.carried, state_ref[2:3, :], 0.0)
-            prefix = p_rows + _cumsum_entries(w * phi, ctx.run_tri)
+            prefix = p_rows + _seg_cumsum_rows(w * phi, ctx.tid_col)
 
             sfx_c = _sub_rows([
                 c[C_TPHI:C_TPHI + 1, :] + c[C_TFGT:C_TFGT + 1, :]

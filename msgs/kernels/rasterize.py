@@ -121,9 +121,11 @@ def _sort_by_gid(gid, values):
     sort payloads (~0.3 ms/column) beats any E-row-table gather or
     scatter-add by an order of magnitude on TPU."""
     F = values.shape[1]
+    # Unstable: segment sums are order-invariant within a gid segment, and
+    # the unstable sort is ~3× faster than the stable one on TPU.
     ops = jax.lax.sort(
         (gid,) + tuple(values[:, i] for i in range(F)),
-        num_keys=1, is_stable=True)
+        num_keys=1, is_stable=False)
     return jnp.stack(ops[1:], axis=1)
 
 

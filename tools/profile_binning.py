@@ -1,0 +1,285 @@
+"""Microbenchmark the sub-ops of bin_gaussians at bench workload."""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+
+from msgs.core.camera import make_camera
+from msgs.kernels.preprocess import TILE, preprocess
+from msgs.kernels import binning as B
+
+W, H = 1920, 1080
+N = 100_000
+ENTRY_CAP = 1 << 21
+
+rng = np.random.default_rng(0)
+means = np.concatenate([
+    rng.uniform(-3.0, 3.0, (N, 2)),
+    rng.uniform(2.0, 12.0, (N, 1))], axis=1).astype(np.float32)
+scales = np.exp(rng.uniform(-4.5, -2.5, (N, 3))).astype(np.float32)
+quats = rng.normal(size=(N, 4)).astype(np.float32)
+opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
+cols = rng.uniform(0, 1, (N, 3)).astype(np.float32)
+cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.8, W, H)
+
+pre = jax.jit(lambda m, s, q, o, c: preprocess(
+    cam, m, o, colors_precomp=c, scales=s, quats=q))(
+        jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), jnp.asarray(cols))
+pre = jax.block_until_ready(pre)
+
+tiles_x = (W + TILE - 1) // TILE
+tiles_y = (H + TILE - 1) // TILE
+T = tiles_x * tiles_y
+E_cap = B.entry_capacity(ENTRY_CAP, T)
+pad_cap = E_cap - ENTRY_CAP
+db = B._depth_bits(T)
+print(f"T={T} E_cap={E_cap} pad_cap={pad_cap} db={db}", flush=True)
+
+
+def scalarize(x):
+    return jnp.sum(jnp.asarray(
+        [jnp.sum(l.astype(jnp.float32))
+         for l in jax.tree_util.tree_leaves(x)]))
+
+
+def run(name, f, *a, n=10):
+    jfn = jax.jit(lambda *a: scalarize(f(*a)))
+    float(np.asarray(jfn(*a)))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = jfn(*a)
+        float(np.asarray(r))
+        t_n = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(jfn(*a)))
+        t_1 = time.perf_counter() - t0
+        best = min(best, (t_n - t_1) / (n - 1))
+    print(f"{name}: {best*1000:.2f} ms", flush=True)
+
+
+def value(f, *a):
+    return jax.block_until_ready(jax.jit(f)(*a))
+
+
+# Stage 1: counts/offsets/kept
+def s1(pre):
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 0)
+    rect_h = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 0)
+    counts = jnp.where(pre.visible, rect_w * rect_h, 0).astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    kept = counts * (offsets + counts <= ENTRY_CAP)
+    return counts, offsets, kept
+
+run("counts/offsets", s1, pre)
+counts, offsets, kept = value(s1, pre)
+
+
+# Stage 2: corner histogram
+def s2(pre, kept):
+    live = kept > 0
+    y0 = jnp.where(live, pre.rect_min[:, 1], tiles_y + 1)
+    y1 = jnp.where(live, pre.rect_max[:, 1], tiles_y + 1)
+    x0 = pre.rect_min[:, 0]
+    x1 = pre.rect_max[:, 0]
+    diff = jnp.zeros((tiles_y + 2, tiles_x + 2), jnp.float32)
+    diff = (diff.at[y0, x0].add(1.0, mode="drop")
+                .at[y0, x1].add(-1.0, mode="drop")
+                .at[y1, x0].add(-1.0, mode="drop")
+                .at[y1, x1].add(1.0, mode="drop"))
+    cover = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:tiles_y, :tiles_x]
+    return cover.reshape(T)
+
+run("corner histogram", s2, pre, kept)
+tcounts = value(s2, pre, kept)
+
+
+# Stage 3: marker cumsum (gid per slot)
+run("marker cumsum gid",
+    lambda o, c: B._marker_cumsum(o, c, ENTRY_CAP), offsets, counts)
+gid = value(lambda o, c: B._marker_cumsum(o, c, ENTRY_CAP), offsets, counts)
+
+
+# Stage 4: binfo row gather
+def s4(pre, offsets, kept, gid):
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 0)
+    gid_c = jnp.clip(gid, 0, N - 1)
+    binfo = jnp.stack([
+        offsets.astype(jnp.float32),
+        pre.rect_min[:, 0].astype(jnp.float32),
+        pre.rect_min[:, 1].astype(jnp.float32),
+        jnp.maximum(rect_w, 1).astype(jnp.float32),
+        pre.depths,
+        kept.astype(jnp.float32),
+        jnp.zeros_like(pre.depths), jnp.zeros_like(pre.depths)], axis=1)
+    return binfo[gid_c]
+
+run("binfo row gather (E,8)", s4, pre, offsets, kept, gid)
+rows = value(s4, pre, offsets, kept, gid)
+
+
+# Stage 5: slot->rect math + keys
+def s5(pre, rows, gid):
+    off_f = rows[:, 0]
+    rmin_x_f = rows[:, 1]
+    rmin_y_f = rows[:, 2]
+    w_f = rows[:, 3]
+    depth_e = rows[:, 4]
+    kept_f = rows[:, 5]
+    slot_f = (jax.lax.iota(jnp.float32, ENTRY_CAP) - off_f)
+    valid = slot_f < kept_f
+    q = jnp.floor(slot_f / w_f)
+    r = slot_f - q * w_f
+    q = (q - (r < 0.0).astype(jnp.float32)
+         + (r >= w_f).astype(jnp.float32))
+    r = slot_f - q * w_f
+    tx_f = rmin_x_f + r
+    ty_f = rmin_y_f + q
+    tile_e = (ty_f * tiles_x + tx_f).astype(jnp.int32)
+    dmin = jnp.min(jnp.where(pre.visible, pre.depths, jnp.inf))
+    dmax = jnp.max(jnp.where(pre.visible, pre.depths, -jnp.inf))
+    dspan = jnp.maximum(dmax - dmin, 1e-9)
+    dq_max = jnp.int32((1 << db) - 1)
+    dq = jnp.clip((depth_e - dmin) / dspan * (2.0**db - 1.0),
+                  0.0, 2.0**db - 1.0).astype(jnp.int32)
+    key_e = jnp.where(valid, tile_e * (1 << db) + jnp.minimum(dq, dq_max),
+                      jnp.int32(2**31 - 1))
+    gid_e = jnp.where(valid, gid, N)
+    return key_e, gid_e
+
+run("slot->key math", s5, pre, rows, gid)
+key_e, gid_e = value(s5, pre, rows, gid)
+
+
+# Stage 6: dummy stream
+def s6(tcounts):
+    padded = jnp.ceil(tcounts / B.SUB) * B.SUB
+    n_dummy = (padded - tcounts).astype(jnp.int32)
+    d_off = (jnp.cumsum(n_dummy) - n_dummy).astype(jnp.int32)
+    total_d = d_off[-1] + n_dummy[-1]
+    tile_d = B._marker_cumsum(d_off, n_dummy, pad_cap)
+    dvalid = jnp.arange(pad_cap, dtype=jnp.int32) < total_d
+    dq_max = jnp.int32((1 << db) - 1)
+    key_d = jnp.where(
+        dvalid, jnp.clip(tile_d, 0, T - 1) * (1 << db) + dq_max,
+        jnp.int32(2**31 - 1))
+    return key_d
+
+run("dummy stream", s6, tcounts)
+key_d = value(s6, tcounts)
+
+
+# Stage 7: the sort
+def s7(key_e, key_d, gid_e):
+    keys = jnp.concatenate([key_e, key_d])
+    gids = jnp.concatenate([gid_e, jnp.full((pad_cap,), N, jnp.int32)])
+    return jax.lax.sort((keys, gids), num_keys=1, is_stable=True)
+
+run("sort (key+gid)", s7, key_e, key_d, gid_e)
+keys_s, gauss_id = value(s7, key_e, key_d, gid_e)
+
+
+def s7b(key_e, key_d, gid_e):
+    keys = jnp.concatenate([key_e, key_d])
+    gids = jnp.concatenate([gid_e, jnp.full((pad_cap,), N, jnp.int32)])
+    return jax.lax.sort((keys, gids), num_keys=1, is_stable=False)
+
+run("sort unstable", s7b, key_e, key_d, gid_e)
+
+
+def s7c(key_e, key_d, gid_e):
+    keys = jnp.concatenate([key_e, key_d])
+    gids = jnp.concatenate([gid_e, jnp.full((pad_cap,), N, jnp.int32)])
+    return jax.lax.sort((keys, gids, gids, gids), num_keys=1,
+                        is_stable=True)
+
+run("sort (key+3 payloads)", s7c, key_e, key_d, gid_e)
+
+
+# Stage 8: post-sort sub-block structure
+def s8(keys_s, tcounts):
+    S_cap = E_cap // B.SUB
+    padded = jnp.ceil(tcounts / B.SUB) * B.SUB
+    padded_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    total_padded = (padded_start[-1] + padded[-1].astype(jnp.int32))
+    first_key = keys_s[jnp.arange(S_cap, dtype=jnp.int32) * B.SUB]
+    raw_tile = first_key // (1 << db)
+    sub_valid = (first_key != jnp.int32(2**31 - 1)).astype(jnp.int32)
+    n_subs = total_padded // B.SUB
+    last_idx = jnp.maximum(n_subs - 1, 0)
+    last_tile = jnp.clip(raw_tile[last_idx], 0, T - 1)
+    sub_tile = jnp.where(sub_valid == 1, jnp.clip(raw_tile, 0, T - 1),
+                         last_tile).astype(jnp.int32)
+    return sub_tile, sub_valid
+
+run("post-sort structure", s8, keys_s, tcounts)
+
+run("bin_gaussians total", lambda p: B.bin_gaussians(p, W, H, ENTRY_CAP),
+    pre)
+
+
+# Cumulative bisection: where does the fused total diverge from the sum?
+def upto_s3(pre):
+    c, o, k = s1(pre)
+    tc = s2(pre, k)
+    g = B._marker_cumsum(o, c, ENTRY_CAP)
+    return tc, g
+
+run("cum: s1+s2+s3", upto_s3, pre)
+
+
+def upto_s4(pre):
+    c, o, k = s1(pre)
+    tc = s2(pre, k)
+    g = B._marker_cumsum(o, c, ENTRY_CAP)
+    r = s4(pre, o, k, g)
+    return tc, r
+
+run("cum: +s4 gather", upto_s4, pre)
+
+
+def upto_s5(pre):
+    c, o, k = s1(pre)
+    tc = s2(pre, k)
+    g = B._marker_cumsum(o, c, ENTRY_CAP)
+    r = s4(pre, o, k, g)
+    ke, ge = s5(pre, r, g)
+    return tc, ke, ge
+
+run("cum: +s5 keys", upto_s5, pre)
+
+
+def upto_s7(pre):
+    c, o, k = s1(pre)
+    tc = s2(pre, k)
+    g = B._marker_cumsum(o, c, ENTRY_CAP)
+    r = s4(pre, o, k, g)
+    ke, ge = s5(pre, r, g)
+    kd = s6(tc)
+    return s7(ke, kd, ge)
+
+run("cum: +s6+s7 sort", upto_s7, pre)
+
+
+def upto_s8(pre):
+    c, o, k = s1(pre)
+    tc = s2(pre, k)
+    g = B._marker_cumsum(o, c, ENTRY_CAP)
+    r = s4(pre, o, k, g)
+    ke, ge = s5(pre, r, g)
+    kd = s6(tc)
+    ks, gs = s7(ke, kd, ge)
+    return s8(ks, tc), gs
+
+run("cum: +s8 all", upto_s8, pre)

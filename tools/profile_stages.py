@@ -35,7 +35,8 @@ def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
     H = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
-    ENTRY_CAP = 1 << (int(sys.argv[4]) if len(sys.argv) > 4 else 21)
+    cap_arg = int(sys.argv[4]) if len(sys.argv) > 4 else 21
+    ENTRY_CAP = cap_arg if cap_arg > 64 else (1 << cap_arg)
 
     rng = np.random.default_rng(0)
     means = np.concatenate([
