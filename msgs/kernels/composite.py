@@ -136,15 +136,34 @@ def _seg_cumsum_rows(x, tid_col):
     return y
 
 
+def _seg_cumprod_rows(x, tid_col):
+    """Inclusive segmented prefix PRODUCT along axis 0 — the same
+    Hillis-Steele tree as `_seg_cumsum_rows` with multiply as the monoid.
+    Running Π(1−α) directly saves a log and an exp per entry×pixel pair
+    versus exp(scan(log)). Factors lie in [1−ALPHA_MAX, 1]; products of
+    dropped runs underflow harmlessly to 0 (flushed, alive-masked). Same
+    offset-in-run parity invariant as the sum scan."""
+    B = x.shape[0]
+    y = x
+    k = 1
+    while k < B:
+        pad_x = jnp.ones((k,) + x.shape[1:], x.dtype)
+        pad_t = jnp.full((k, 1), -1.0, tid_col.dtype)
+        ysh = jnp.concatenate([pad_x, y[:-k]], axis=0)
+        tsh = jnp.concatenate([pad_t, tid_col[:-k]], axis=0)
+        y = y * jnp.where(tid_col == tsh, ysh, 1.0)
+        k *= 2
+    return y
+
+
 def _prefix_products(alpha, t_in):
     """cum_incl/cum_excl along the entry axis + per-entry T_after.
 
     alpha: (BLOCK, NPIX); t_in: (1, NPIX).
     """
     f = 1.0 - alpha
-    logf = jnp.log(f)
     one_run = jnp.zeros((alpha.shape[0], 1), jnp.float32)
-    cum_incl = jnp.exp(_seg_cumsum_rows(logf, one_run))
+    cum_incl = _seg_cumprod_rows(f, one_run)
     cum_excl = cum_incl / f
     t_after = t_in * cum_incl                     # T if entries ≤ i applied
     return f, cum_incl, cum_excl, t_after
@@ -242,7 +261,7 @@ class _BlockCtx:
         alpha = jnp.where(mask, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
 
         f = 1.0 - alpha
-        cum_incl = jnp.exp(_seg_cumsum_rows(jnp.log(f), tid_col))
+        cum_incl = _seg_cumprod_rows(f, tid_col)
         cum_excl = cum_incl / f
 
         # Per-row incoming transmittance/done: a carried run continues the
@@ -261,23 +280,49 @@ class _BlockCtx:
         self.t_in, self.alive = t_in, alive
         self.w = alpha * t_in * cum_excl * alive   # (BLOCK, NPIX)
         self.tids, self.carried = tids, carried
+        self.outside = outside                     # (BLOCK, NPIX)
+        self.carried0 = (tids[0] == prev_tid) & not_first
 
-    def sub_outside(self, k, tiles_x: int, width: int, height: int):
-        """(1, NPIX) off-image mask of sub-block k's tile."""
-        px, py = _pixel_coords(self.tids[k], tiles_x)
-        return ((px >= width) | (py >= height)).astype(jnp.float32)
 
-    def sub_t_done(self, k, state_t, state_done):
-        """Tile state (T, done) after applying sub-block k, given the
-        state after sub-block k−1 (reference drop-below-eps semantics)."""
+def _sub_states(ctx, feat, state_ref, w):
+    """Per-sub-block output states as a branch-free select chain.
+
+    Returns (states, accs) where states[k] is the (NOUT, NPIX) tile state
+    after applying sub-block k (what the reference per-sub RMW loop used to
+    build in scratch, step by step, behind `pl.when(first)` branches — the
+    branches and the 3-row read-modify-write chain per sub-block were the
+    compositor's single biggest cost). Rounding stays left-associative
+    (base, then acc_j ascending) so values match the jnp oracle exactly.
+    """
+    accs, tmins, lastts = [], [], []
+    for k in range(NSUB):
         rows = slice(k * SUB, (k + 1) * SUB)
-        t_aft = self.t_after[rows]
-        t_new = jnp.minimum(state_t, jnp.min(
-            jnp.where(self.alive[rows] > 0.0, t_aft, 2.0),
-            axis=0, keepdims=True))
-        done_new = jnp.maximum(
-            state_done, (t_aft[-1:, :] < T_EPS).astype(jnp.float32))
-        return t_new, done_new
+        accs.append(jnp.stack([
+            jnp.sum(feat[rows, F_R + i:F_R + i + 1] * w[rows], axis=0)
+            for i in range(5)], axis=0))           # (5, NPIX)
+        tmins.append(jnp.min(
+            jnp.where(ctx.alive[rows] > 0.0, ctx.t_after[rows], 2.0),
+            axis=0, keepdims=True))                # (1, NPIX)
+        lastts.append(ctx.t_after[(k + 1) * SUB - 1:(k + 1) * SUB, :])
+
+    states = []
+    acc_st = state_ref[O_R:O_ACC + 1, :]
+    t_st = state_ref[O_T:O_T + 1, :]
+    done_st = state_ref[O_DONE:O_DONE + 1, :]
+    for k in range(NSUB):
+        fresh = (ctx.tids[k] != ctx.tids[k - 1]) if k > 0 else \
+            jnp.logical_not(ctx.carried0)          # scalar bool
+        outside_k = ctx.outside[k * SUB:k * SUB + 1, :]
+        acc_st = jnp.where(fresh, accs[k],
+                           acc_st + accs[k])
+        t_st = jnp.minimum(jnp.where(fresh, 1.0, t_st), tmins[k])
+        done_st = jnp.maximum(
+            jnp.where(fresh, outside_k, done_st),
+            (lastts[k] < T_EPS).astype(jnp.float32))
+        states.append(jnp.concatenate(
+            [acc_st, t_st, done_st,
+             jnp.zeros((NOUT - O_DONE - 1, NPIX), jnp.float32)], axis=0))
+    return states
 
 
 def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
@@ -298,11 +343,7 @@ def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
         tids = [st_ref[sb0 + k] for k in range(NSUB)]
         prev = st_ref[jnp.maximum(sb0 - 1, 0)]
         nf = sb0 > 0
-        uniform = tids[0] == prev
-        for t in tids[1:]:
-            uniform = uniform & (t == prev)
-        done_all = (jnp.min(state_ref[O_DONE, :]) > 0.5) & uniform & nf
-        compute = (sv_ref[sb0] == 1) & jnp.logical_not(done_all)
+        compute = sv_ref[sb0] == 1
 
         @pl.when(compute)
         def _():
@@ -312,36 +353,17 @@ def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
                             state_ref[O_DONE:O_DONE + 1, :],
                             tiles_x, width, height)
             wmax = jnp.max(ctx.w, axis=1, keepdims=True)   # (BLOCK, 1)
+            states = _sub_states(ctx, feat, state_ref, ctx.w)
+            delta = jnp.zeros((SUB, 128), jnp.float32)
             for k in range(NSUB):
                 sb = sb0 + k
                 rows = slice(k * SUB, (k + 1) * SUB)
-                first = (tids[k] != tids[k - 1]) if k > 0 else \
-                    ((tids[0] != prev) | jnp.logical_not(nf))
-
-                @pl.when(first)
-                def _():
-                    out = _init_state(tids[k], tiles_x, width, height)
-                    state_ref[:] = out
-
-                acc = jnp.stack([
-                    jnp.sum(feat[rows, F_R + i:F_R + i + 1] * ctx.w[rows],
-                            axis=0)
-                    for i in range(5)], axis=0)    # (5, NPIX)
-                t_new, done_new = ctx.sub_t_done(
-                    k, state_ref[O_T:O_T + 1, :],
-                    state_ref[O_DONE:O_DONE + 1, :])
-                state_ref[O_R:O_ACC + 1, :] += acc
-                state_ref[O_T:O_T + 1, :] = t_new
-                state_ref[O_DONE:O_DONE + 1, :] = done_new
                 oh = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                       == sb % 128).astype(jnp.float32)
-                contrib_ref[:, :] += wmax[rows] * oh
-                out_ref[g * NSUB + k] = state_ref[:]
-
-        @pl.when(jnp.logical_not(compute))
-        def _():
-            for k in range(NSUB):
-                out_ref[g * NSUB + k] = state_ref[:]
+                delta = delta + wmax[rows] * oh
+                out_ref[g * NSUB + k] = states[k]
+            contrib_ref[:, :] += delta
+            state_ref[:] = states[NSUB - 1]
 
 
 def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
@@ -359,11 +381,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
         tids = [st_ref[sb0 + k] for k in range(NSUB)]
         prev = st_ref[jnp.maximum(sb0 - 1, 0)]
         nf = sb0 > 0
-        uniform = tids[0] == prev
-        for t in tids[1:]:
-            uniform = uniform & (t == prev)
-        done_all = (jnp.min(state_ref[1, :]) > 0.5) & uniform & nf
-        compute = (sv_ref[sb0] == 1) & jnp.logical_not(done_all)
+        compute = sv_ref[sb0] == 1
 
         @pl.when(compute)
         def _():
@@ -434,24 +452,27 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
                 dpay_ref[g, :, F_DEPTH] = jnp.sum(w * gd, axis=1)
                 dpay_ref[g, :, F_PSIZE] = jnp.sum(w * ga, axis=1)
 
-            # Advance the per-tile state exactly as the forward pass does.
+            # Advance the per-tile scratch exactly as the forward pass
+            # does, but branch-free and only to the block's final state
+            # (intermediate sub-block states are never read back here).
+            t_st = state_ref[0:1, :]
+            done_st = state_ref[1:2, :]
             for k in range(NSUB):
-                first = (tids[k] != tids[k - 1]) if k > 0 else \
-                    ((tids[0] != prev) | jnp.logical_not(nf))
-
-                @pl.when(first)
-                def _():
-                    state_ref[0:1, :] = jnp.ones((1, NPIX), jnp.float32)
-                    state_ref[1:2, :] = ctx.sub_outside(
-                        k, tiles_x, width, height)
-                    state_ref[2:3, :] = jnp.zeros((1, NPIX), jnp.float32)
-
-                t_new, done_new = ctx.sub_t_done(
-                    k, state_ref[0:1, :], state_ref[1:2, :])
-                state_ref[0:1, :] = t_new
-                state_ref[1:2, :] = done_new
-                state_ref[2:3, :] = prefix[(k + 1) * SUB - 1:
-                                           (k + 1) * SUB, :]
+                fresh = (tids[k] != tids[k - 1]) if k > 0 else \
+                    jnp.logical_not(ctx.carried0)
+                rows = slice(k * SUB, (k + 1) * SUB)
+                tmin = jnp.min(
+                    jnp.where(ctx.alive[rows] > 0.0, ctx.t_after[rows], 2.0),
+                    axis=0, keepdims=True)
+                lastt = ctx.t_after[(k + 1) * SUB - 1:(k + 1) * SUB, :]
+                outside_k = ctx.outside[k * SUB:k * SUB + 1, :]
+                t_st = jnp.minimum(jnp.where(fresh, 1.0, t_st), tmin)
+                done_st = jnp.maximum(
+                    jnp.where(fresh, outside_k, done_st),
+                    (lastt < T_EPS).astype(jnp.float32))
+            state_ref[0:1, :] = t_st
+            state_ref[1:2, :] = done_st
+            state_ref[2:3, :] = prefix[BLOCK - 1:BLOCK, :]
 
 
 def _interpret() -> bool:

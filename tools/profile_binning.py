@@ -19,7 +19,7 @@ from msgs.kernels import binning as B
 
 W, H = 1920, 1080
 N = 100_000
-ENTRY_CAP = 1 << 21
+ENTRY_CAP = 1_572_864
 
 rng = np.random.default_rng(0)
 means = np.concatenate([
