@@ -75,6 +75,11 @@ def build_parser():
     p.add_argument("--profile_steps", type=str, default=None,
                    help="START:END iteration range to capture a jax.profiler "
                         "trace into <model_path>/profile/")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed (DCN) before touching "
+                        "devices; config via JAX_COORDINATOR_ADDRESS / "
+                        "JAX_NUM_PROCESSES / JAX_PROCESS_ID or Cloud-TPU "
+                        "autodetection (msgs/dist/multihost.py)")
     return p
 
 
@@ -87,6 +92,8 @@ def training(args):
     import signal
     faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> → stack dump
 
+    from msgs.dist.multihost import maybe_initialize
+    is_main = maybe_initialize(args.multihost)   # before any device use
     import jax
     import jax.numpy as jnp
 
@@ -108,6 +115,11 @@ def training(args):
     if args.resolution_short is not None:
         args.resolution = args.resolution_short
     op = extract_optim(args)
+    if not is_main:
+        # Secondary hosts compute but never write logs/TB/GUI.
+        args.no_tensorboard = True
+        args.disable_gui = True
+        args.quiet = True
     random.seed(args.seed)
     np.random.seed(args.seed)
     if args.detect_anomaly:
@@ -187,13 +199,26 @@ def training(args):
     key = jax.random.PRNGKey(args.seed)
     bg = jnp.ones((3,)) if args.white_background else jnp.zeros((3,))
 
+    # Device-resident GT cache. The reference keeps every camera's GT on GPU
+    # (cameras.py:39); we do the same per sampled (view, scale) — re-shipping
+    # 3 MB/step over the accelerator link (or worse, a tunnel) costs more
+    # than the render itself. Coarse-scale images are tiny, so the cache is
+    # ≈ n_views × H×W×12 B total.
+    gt_cache = {}
+
+    def gt_on_device(view, scale):
+        k = (view.uid, scale)
+        if k not in gt_cache:
+            gt_cache[k] = jax.device_put(view.image(scale))
+        return gt_cache[k]
+
     viewpoint_stack = []
     cur_lvl = 0
     last_reset = None
     ema_loss = 0.0
     spatial_lr = float(extent)
     t_start = time.time()
-    pending_overflow = None   # previous step's overflow scalar (async check)
+    pending_overflow = []   # the window's overflow scalars (async check)
 
     def grow_capacity(state, new_cap):
         import jax.tree_util as jtu
@@ -256,17 +281,7 @@ def training(args):
         sched.count_iteration(cur_lvl)
         scale = sched.scales[cur_lvl]
         cam = view.camera(scale)
-        gt = jnp.asarray(view.image(scale))
-
-        # Previous step's overflow, checked one step delayed so the host
-        # never stalls on an in-flight step. Safe because an overflowing
-        # train_step discards its own updates inside the jit — the only loss
-        # is the (≤1) skipped step, never training on a truncated render.
-        if pending_overflow is not None and int(pending_overflow) > 0:
-            new_cap = next_pow2(settings.entry_cap + int(pending_overflow))
-            print(f"[entry_cap] overflow {int(pending_overflow)}; growing "
-                  f"{settings.entry_cap} -> {new_cap}")
-            settings = settings._replace(entry_cap=new_cap)
+        gt = gt_on_device(view, scale)
 
         do_px = iteration >= 250 and (last_reset is None
                                       or iteration - last_reset > 250)
@@ -285,7 +300,7 @@ def training(args):
             do_px_update=do_px, do_densify_stats=do_ds, do_base_mask=do_bm,
             ms_lr_active=(iteration >= args.ms_from_iter
                           and (args.multi_occ or args.multi_dc)))
-        pending_overflow = metrics["overflow"]
+        pending_overflow.append(metrics["overflow"])
 
         # Eval / save BEFORE structural ops — the reference runs
         # training_report and scene.save ahead of densify/opacity-reset
@@ -345,8 +360,23 @@ def training(args):
             state = run_insert_episode(
                 state, scene, sched, target, cfg, settings, extent, args)
 
-        # Host-side housekeeping every 10 iters.
+        # Host-side housekeeping every 10 iters. This includes the entry-cap
+        # overflow check: reading any device scalar blocks on the in-flight
+        # step (a full link round-trip), so a per-iteration check would
+        # serialize dispatch and let the device idle between steps. Safety
+        # doesn't need per-step checks — an overflowing train_step discards
+        # its own updates *inside* the jit, so the only cost of late
+        # detection is ≤10 skipped steps, never training on a truncated
+        # render.
         if iteration % 10 == 0 or iteration == op.iterations:
+            ovf = int(jnp.max(jnp.stack(pending_overflow))) \
+                if pending_overflow else 0   # one readback, not ten
+            pending_overflow.clear()
+            if ovf > 0:
+                new_cap = next_pow2(settings.entry_cap + ovf)
+                print(f"[entry_cap] overflow {ovf}; "
+                      f"growing {settings.entry_cap} -> {new_cap}")
+                settings = settings._replace(entry_cap=new_cap)
             loss = float(metrics["loss"])
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             n_live = int(metrics["num_live"])

@@ -230,6 +230,5 @@ def load_scene(source_path: str, **kw) -> SceneData:
     if os.path.exists(os.path.join(source_path, "transforms_train.json")):
         kw.pop("images_dir", None)
         kw.pop("llffhold", None)
-        kw["eval_split"] = kw.pop("eval_split", True) or True
         return load_blender_scene(source_path, **kw)
     raise ValueError(f"unrecognized scene layout at {source_path}")

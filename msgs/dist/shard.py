@@ -9,20 +9,30 @@ sharding-recipe from the scaling playbook):
   - The image is partitioned into row stripes over **both** mesh axes
     (n_stripes = |gauss|·|tile|), so every device composites a distinct
     stripe — no redundant tile work on the gauss axis.
-  - One `all_gather` along "gauss" moves the culled per-Gaussian compositor
-    features to every device (its autodiff transpose is the
-    `reduce_scatter` of per-Gaussian gradients — XLA inserts it); loss terms
-    are `pmean`ed across the whole mesh. Both collectives ride ICI.
+  - **Bounded splat exchange**: each device culls its local Gaussians per
+    destination stripe and packs the compositor features of the survivors
+    into fixed-capacity packets (`packet_cap` rows per source→stripe pair),
+    exchanged with one all-to-all over the combined mesh axes. Per-device
+    communicated bytes are `n_stripes · packet_cap · 16 · 4` — set by the
+    visible working set of one stripe, independent of total model size
+    (the round-1 design all-gathered every preprocess output at full
+    capacity along gauss, O(N·devices) memory). Packet overflow is counted
+    and reported like binning overflow. Depth ordering stays globally
+    exact: receivers re-bin and depth-sort the merged packet stream with
+    the same fused-key sort as the single-device path.
+  - The all-to-all transposes to an all-to-all of packet gradients in
+    backward; per-Gaussian gradients land via the pack-gather's transpose.
+    Loss terms are `pmean`ed across the whole mesh. All collectives ride
+    ICI.
   - Binning + Pallas compositing run per-device on the stripe-local
     coordinate frame (means/rects shifted by the stripe offset).
-
-Stripe SSIM note: SSIM windows are evaluated per stripe (no halo exchange
-yet), so an 11-px band at each stripe boundary contributes slightly
-different SSIM gradients than the single-device path. L1 is exact.
+  - SSIM runs on halo-extended stripes (a 5-row halo all-gather, tiny) so
+    stripe-boundary windows see their true neighborhoods; edge stripes pad
+    with zeros exactly like the reference's SAME-padded conv. Sharded loss
+    and gradients match the single-device path at any lambda_dssim.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -31,15 +41,132 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from msgs.dist.mesh import GAUSS_AXIS, TILE_AXIS
-from msgs.eval.metrics import l1_loss, ssim
-from msgs.kernels.preprocess import TILE, preprocess
+from msgs.eval.metrics import l1_loss, ssim_map
+from msgs.kernels.preprocess import TILE, PreprocessOut, preprocess
 from msgs.kernels.rasterize import RasterSettings, composite_pipeline
 from msgs.model.gaussians import GaussianConfig, GaussianState
 from msgs.train.loop import TrainState
 from msgs.train.optimizer import OptimParams, adam_update, group_lrs
 
-_GATHER_FIELDS = ("means2d", "depths", "conics", "colors", "opacities",
-                  "radii", "pixel_sizes", "rect_min", "rect_max", "visible")
+# Packet column layout for the bounded splat exchange (16 f32 = everything
+# the compositor pipeline consumes; radii stay local).
+PKT = 16
+(_PK_MX, _PK_MY, _PK_DEPTH, _PK_CXX, _PK_CXY, _PK_CYY, _PK_R, _PK_G, _PK_B,
+ _PK_OP, _PK_PS, _PK_RMINX, _PK_RMINY, _PK_RMAXX, _PK_RMAXY,
+ _PK_VALID) = range(PKT)
+
+_SSIM_PAD = 5   # 11×11 window ⇒ 5-row halo
+
+
+def _pack_features(pre) -> jnp.ndarray:
+    """(C_local, PKT) f32 packet rows of the local preprocess outputs."""
+    return jnp.stack([
+        pre.means2d[:, 0], pre.means2d[:, 1], pre.depths,
+        pre.conics[:, 0], pre.conics[:, 1], pre.conics[:, 2],
+        pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
+        pre.opacities, pre.pixel_sizes,
+        pre.rect_min[:, 0].astype(jnp.float32),
+        pre.rect_min[:, 1].astype(jnp.float32),
+        pre.rect_max[:, 0].astype(jnp.float32),
+        pre.rect_max[:, 1].astype(jnp.float32),
+        pre.visible.astype(jnp.float32)], axis=1)
+
+
+def _exchange_splats(pre, t_idx, n_gauss: int, n_tile: int,
+                     tiles_y_local: int, packet_cap: int):
+    """Bounded all-to-all splat exchange (see module docstring).
+
+    The gauss shard is replicated across the tile axis, so exactly one
+    tile-peer must serve each (shard, stripe) pair: source (g', t') packs
+    packets only for the n_gauss stripes whose tile coordinate is its own
+    t', and ONE all-to-all along the gauss axis delivers every shard's
+    packet to its stripe owner exactly once.
+
+    Returns (pre_merged, gid_table, exch_overflow): a PreprocessOut-shaped
+    merged stream of n_gauss·packet_cap rows in GLOBAL image coordinates
+    (receiver applies the stripe shift), the send-slot → local-gid mapping
+    (for routing contribution flags back), and the number of packet rows
+    dropped to the capacity.
+
+    Scaling note: the per-(gaussian, destination) rank is an
+    O(C_local·n_gauss) cumsum and the slot scatter is the same size — fine
+    to a few hundred shards; a very large mesh would switch this to the
+    binning-style emission sort."""
+    C = pre.depths.shape[0]
+    K = packet_cap
+    # Destination stripe of gauss-row g'' (at this device's tile column).
+    dstripes = (jnp.arange(n_gauss, dtype=jnp.int32) * n_tile
+                + t_idx)[None, :]                       # (1, n_gauss)
+    s0 = pre.rect_min[:, 1] // tiles_y_local            # (C,)
+    s1 = -((-pre.rect_max[:, 1]) // tiles_y_local)      # ceil div
+    cover = (pre.visible[:, None] & (dstripes >= s0[:, None])
+             & (dstripes < s1[:, None]))                # (C, n_gauss)
+    rank = jnp.cumsum(cover.astype(jnp.int32), axis=0) - cover
+    ok = cover & (rank < K)
+    exch_overflow = jnp.sum(
+        jnp.maximum(jnp.sum(cover.astype(jnp.int32), axis=0) - K, 0))
+
+    # Unique destination slots → integer scatter builds slot → gid;
+    # the feature move itself is ONE differentiable row gather.
+    jvec = jnp.arange(n_gauss, dtype=jnp.int32)[None, :]
+    dest = jnp.where(ok, jvec * K + rank, n_gauss * K)
+    gids = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.int32)[:, None], dest.shape)
+    gid_table = jnp.full((n_gauss * K + 1,), C, jnp.int32)
+    gid_table = gid_table.at[dest.reshape(-1)].set(
+        gids.reshape(-1), mode="drop")[:n_gauss * K]
+
+    feats = jnp.concatenate(
+        [_pack_features(pre), jnp.zeros((1, PKT), jnp.float32)], axis=0)
+    send = feats[gid_table].reshape(n_gauss, K, PKT)
+    recv = jax.lax.all_to_all(send, GAUSS_AXIS, split_axis=0, concat_axis=0,
+                              tiled=True).reshape(n_gauss * K, PKT)
+
+    M = n_gauss * K
+    pre_merged = PreprocessOut(
+        means2d=recv[:, _PK_MX:_PK_MY + 1],
+        depths=recv[:, _PK_DEPTH],
+        conics=recv[:, _PK_CXX:_PK_CYY + 1],
+        colors=recv[:, _PK_R:_PK_B + 1],
+        opacities=recv[:, _PK_OP],
+        radii=jnp.zeros((M,), jnp.int32),
+        pixel_sizes=recv[:, _PK_PS],
+        rect_min=recv[:, _PK_RMINX:_PK_RMINY + 1].astype(jnp.int32),
+        rect_max=recv[:, _PK_RMAXX:_PK_RMAXY + 1].astype(jnp.int32),
+        visible=recv[:, _PK_VALID] > 0.5,
+    )
+    return pre_merged, gid_table, exch_overflow
+
+
+def _striped_ssim(image, gt, stripe_idx, n_gauss: int, n_tile: int,
+                  height: int, width: int):
+    """Exact SSIM over row stripes via a 5-row halo exchange.
+
+    Interior stripe boundaries see true neighbor rows; global top/bottom
+    keep the reference's zero padding. The halo all-gather moves
+    n_stripes · 4 · 5 · W · 3 floats — negligible."""
+    n_stripes = n_gauss * n_tile
+    pad = _SSIM_PAD
+    h_local = image.shape[0]
+    halos = jnp.stack([image[:pad], image[-pad:], gt[:pad], gt[-pad:]])
+    gathered = jax.lax.all_gather(
+        halos, (GAUSS_AXIS, TILE_AXIS), axis=0)      # (n_stripes, 4, pad, W, 3)
+    zero = jnp.zeros((pad,) + image.shape[1:], image.dtype)
+    prev = jnp.take(gathered, jnp.clip(stripe_idx - 1, 0, n_stripes - 1),
+                    axis=0)
+    nxt = jnp.take(gathered, jnp.clip(stripe_idx + 1, 0, n_stripes - 1),
+                   axis=0)
+    first = stripe_idx == 0
+    last = stripe_idx == n_stripes - 1
+    img_ext = jnp.concatenate([
+        jnp.where(first, zero, prev[1]), image,
+        jnp.where(last, zero, nxt[0])], axis=0)
+    gt_ext = jnp.concatenate([
+        jnp.where(first, zero, prev[3]), gt,
+        jnp.where(last, zero, nxt[2])], axis=0)
+    smap = ssim_map(img_ext, gt_ext)[pad:pad + h_local]
+    total = jax.lax.psum(jnp.sum(smap), (GAUSS_AXIS, TILE_AXIS))
+    return total / (height * width * image.shape[-1])
 
 
 def _shift_stripe(pre, stripe_idx, tiles_y_local: int, h_local: int):
@@ -63,7 +190,7 @@ class ShardedAux(NamedTuple):
     l1: jnp.ndarray
     radii: jnp.ndarray         # (C,) sharded over gauss
     pixel_sizes_raw: jnp.ndarray
-    contributed: jnp.ndarray   # (C,) replicated
+    contributed: jnp.ndarray   # (C,) sharded over gauss
     num_entries: jnp.ndarray
     overflow: jnp.ndarray
 
@@ -71,9 +198,14 @@ class ShardedAux(NamedTuple):
 def build_sharded_loss(mesh: Mesh, cfg: GaussianConfig,
                        settings: RasterSettings, height: int, width: int,
                        *, lambda_dssim: float = 0.2, loss_mult: float = 1.0,
-                       reso_lvl: int = 0, fade_size: float = 0.0):
+                       reso_lvl: int = 0, fade_size: float = 0.0,
+                       packet_cap: int = 0):
     """Returns loss_fn(params, side, probe, camera, gt) → (loss, ShardedAux),
-    where params/side/probe are gauss-sharded and gt is stripe-sharded."""
+    where params/side/probe are gauss-sharded and gt is stripe-sharded.
+
+    packet_cap bounds the per-(source, stripe) splat packets of the
+    all-to-all exchange (0 → a default sized for ~4× even spread);
+    overflow surfaces in aux.overflow like binning overflow."""
     n_gauss = mesh.shape[GAUSS_AXIS]
     n_tile = mesh.shape[TILE_AXIS]
     n_stripes = n_gauss * n_tile
@@ -82,6 +214,9 @@ def build_sharded_loss(mesh: Mesh, cfg: GaussianConfig,
         f"{n_stripes * TILE}")
     h_local = height // n_stripes
     tiles_y_local = h_local // TILE
+    c_local = cfg.capacity // n_gauss
+    if packet_cap <= 0:
+        packet_cap = max(128, -(-4 * c_local // n_stripes // 128) * 128)
 
     def loss_sm(params, side, probe, camera, gt_stripe):
         st = GaussianState(**params, **side)
@@ -104,34 +239,48 @@ def build_sharded_loss(mesh: Mesh, cfg: GaussianConfig,
             dc_delta=st.dc_delta if cfg.multi_dc else None,
             reso_lvl=reso_lvl)
 
-        # Ship culled per-Gaussian features to every device (ICI all-gather;
-        # transpose = reduce-scatter of gradients).
-        gathered = {
-            k: jax.lax.all_gather(getattr(pre, k), GAUSS_AXIS, axis=0,
-                                  tiled=True)
-            for k in _GATHER_FIELDS}
-        pre_full = pre._replace(**gathered)
-        pre_stripe = _shift_stripe(pre_full, stripe_idx, tiles_y_local,
+        # Bounded all-to-all of per-stripe culled splat packets (module
+        # docstring); its autodiff transpose routes packet gradients back
+        # and the pack-gather's transpose lands them per local Gaussian.
+        pre_merged, gid_table, exch_overflow = _exchange_splats(
+            pre, t_idx, n_gauss, n_tile, tiles_y_local, packet_cap)
+        pre_stripe = _shift_stripe(pre_merged, stripe_idx, tiles_y_local,
                                    h_local)
         res = composite_pipeline(pre_stripe, width, h_local, settings)
 
         image = res.image   # bg is zero in training (reference train.py:77)
         l1 = l1_loss(image, gt_stripe)
-        loss = ((1.0 - lambda_dssim) * l1
-                + lambda_dssim * (1.0 - ssim(image, gt_stripe)))
+        if lambda_dssim != 0.0:
+            ssim_val = _striped_ssim(image, gt_stripe, stripe_idx,
+                                     n_gauss, n_tile, height, width)
+            loss = ((1.0 - lambda_dssim) * l1
+                    + lambda_dssim * (1.0 - ssim_val))
+        else:
+            loss = l1
         loss = jax.lax.pmean(loss * loss_mult, (GAUSS_AXIS, TILE_AXIS))
         l1 = jax.lax.pmean(l1, (GAUSS_AXIS, TILE_AXIS))
 
-        contributed = jax.lax.psum(
-            res.contributed.astype(jnp.float32),
-            (GAUSS_AXIS, TILE_AXIS)) > 0
+        # Contribution flags route back through the transposed all-to-all
+        # to each packet's source, fold onto local Gaussians, then OR
+        # across tile-peers (each served a different stripe subset).
+        cback = jax.lax.all_to_all(
+            jax.lax.stop_gradient(res.contributed)
+            .astype(jnp.float32).reshape(n_gauss, packet_cap),
+            GAUSS_AXIS, split_axis=0, concat_axis=0, tiled=True).reshape(-1)
+        C = pre.depths.shape[0]
+        contributed = jnp.zeros((C + 1,), jnp.float32).at[gid_table].add(
+            cback)[:C]
+        contributed = jax.lax.psum(contributed, TILE_AXIS) > 0
+
         aux = ShardedAux(
             l1=l1,
             radii=pre.radii,
             pixel_sizes_raw=pre.pixel_sizes,
             contributed=contributed,
-            num_entries=jax.lax.psum(res.num_entries, (GAUSS_AXIS, TILE_AXIS)),
-            overflow=jax.lax.psum(res.overflow, (GAUSS_AXIS, TILE_AXIS)),
+            num_entries=jax.lax.psum(res.num_entries,
+                                     (GAUSS_AXIS, TILE_AXIS)),
+            overflow=jax.lax.psum(res.overflow + exch_overflow,
+                                  (GAUSS_AXIS, TILE_AXIS)),
         )
         return loss, aux
 
@@ -153,7 +302,7 @@ def build_sharded_loss(mesh: Mesh, cfg: GaussianConfig,
         ),
         out_specs=(P(), ShardedAux(
             l1=P(), radii=P(GAUSS_AXIS), pixel_sizes_raw=P(GAUSS_AXIS),
-            contributed=P(), num_entries=P(), overflow=P())),
+            contributed=P(GAUSS_AXIS), num_entries=P(), overflow=P())),
         check_vma=False,
     )
 
@@ -180,14 +329,15 @@ def build_sharded_train_step(mesh: Mesh, cfg: GaussianConfig,
                              op: OptimParams, settings: RasterSettings,
                              height: int, width: int, *,
                              spatial_lr_scale: float = 1.0,
-                             reso_lvl: int = 0, loss_mult: float = 1.0):
+                             reso_lvl: int = 0, loss_mult: float = 1.0,
+                             packet_cap: int = 0):
     """Full sharded train step: sharded render+loss, backward (grads land
     gauss-sharded via the gather transpose), Adam, side-state updates."""
     from msgs.model import gaussians as G
 
     loss_fn = build_sharded_loss(
         mesh, cfg, settings, height, width, reso_lvl=reso_lvl,
-        loss_mult=loss_mult)
+        loss_mult=loss_mult, packet_cap=packet_cap)
 
     @jax.jit
     def step(state: TrainState, camera, gt):

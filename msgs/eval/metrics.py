@@ -46,7 +46,9 @@ def _filter2d(img, win):
     return out[0]
 
 
-def ssim(img, gt, window_size: int = 11, sigma: float = 1.5):
+def ssim_map(img, gt, window_size: int = 11, sigma: float = 1.5):
+    """Per-pixel SSIM map with the reference's SAME/zero-pad conv semantics
+    (loss_utils.py:33-63: 11×11 σ1.5 window, padding=window//2)."""
     win = _gaussian_window(window_size, sigma)
     mu1 = _filter2d(img, win)
     mu2 = _filter2d(gt, win)
@@ -55,9 +57,12 @@ def ssim(img, gt, window_size: int = 11, sigma: float = 1.5):
     sigma2_sq = _filter2d(gt * gt, win) - mu2_sq
     sigma12 = _filter2d(img * gt, win) - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
-    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+    return ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
-    return jnp.mean(ssim_map)
+
+
+def ssim(img, gt, window_size: int = 11, sigma: float = 1.5):
+    return jnp.mean(ssim_map(img, gt, window_size, sigma))
 
 
 def photometric_loss(img, gt, lambda_dssim: float = 0.2):

@@ -1,6 +1,6 @@
 """Sharded (2-D mesh) rendering must match the single-device path: loss
-values and parameter gradients. L1 is exact; SSIM differs only in an 11-px
-band at stripe boundaries, so exactness is asserted at lambda_dssim=0."""
+values and parameter gradients, at lambda_dssim=0 (pure L1) AND at the
+training value 0.2 (SSIM via the stripe halo exchange)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,7 +10,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from msgs.core.camera import make_camera
 from msgs.dist.mesh import GAUSS_AXIS, TILE_AXIS, make_mesh
 from msgs.dist.shard import build_sharded_loss, state_as_dicts
-from msgs.eval.metrics import l1_loss
+from msgs.eval.metrics import photometric_loss
 from msgs.kernels.preprocess import TILE
 from msgs.kernels.rasterize import RasterSettings
 from msgs.model.gaussians import GaussianConfig, create_from_points
@@ -35,13 +35,18 @@ def setup():
     return cfg, st, cam, gt
 
 
-def test_sharded_matches_single(setup):
+@pytest.mark.parametrize("lambda_dssim", [0.0, 0.2])
+def test_sharded_matches_single(setup, lambda_dssim):
     cfg, st, cam, gt = setup
     mesh = make_mesh(n_gauss=2, n_tile=4)
     settings = RasterSettings(backend="pallas", entry_cap=1 << 12)
 
+    # packet_cap = C_local: no packet can overflow, so the sharded loss
+    # must match the single-device one exactly (SSIM included — the halo
+    # exchange restores stripe-boundary windows).
     sharded_loss = build_sharded_loss(mesh, cfg, settings, H, W,
-                                      lambda_dssim=0.0)
+                                      lambda_dssim=lambda_dssim,
+                                      packet_cap=CAP // 2)
     params, side = state_as_dicts(st)
     gauss_sh = NamedSharding(mesh, P(GAUSS_AXIS))
     repl = NamedSharding(mesh, P())
@@ -63,7 +68,7 @@ def test_sharded_matches_single(setup):
         st2 = st.with_params(params)
         out = render_state(st2, cam, cfg, settings,
                            bg=jnp.zeros((3,)), means2d_probe=probe)
-        return l1_loss(out.image, gt)
+        return photometric_loss(out.image, gt, lambda_dssim)
 
     (loss_1), (g_1, pg_1) = jax.value_and_grad(
         single_loss, argnums=(0, 1))(st.params(), jnp.zeros((CAP, 2)))

@@ -27,10 +27,19 @@ def build_gt_model(n: int, rng):
     a back wall with stripes — lots of multi-frequency content."""
     pts, cols, scales = [], [], []
 
+    # Scale discipline: the reference protocol prunes any Gaussian whose
+    # accumulated screen radius exceeds 20 px once opacity resets begin
+    # (gaussian_model.py:612, train.py:255). At 512² / fov 0.85 (focal
+    # ≈563 px) and ring-camera depths ≥2.5, that caps survivable world
+    # scales at ≈0.012·depth ⇒ ~0.03. Every GT splat stays under that, so
+    # a valid fitted model exists inside the protocol's own constraints
+    # (the earlier 0.1-0.12 ground/wall splats were unrepresentable: each
+    # densify past iter 3000 pruned them and training collapsed).
+
     # Ground plane: grid of flat gaussians with checker colors.
     g = int(math.sqrt(n * 0.4))
-    xs = np.linspace(-4, 4, g)
-    zs = np.linspace(-4, 4, g)
+    xs = np.linspace(-3, 3, g)
+    zs = np.linspace(-3, 3, g)
     gx, gz = np.meshgrid(xs, zs)
     gy = np.full_like(gx, -1.0)
     checker = ((gx * 2).astype(int) + (gz * 2).astype(int)) % 2
@@ -39,18 +48,19 @@ def build_gt_model(n: int, rng):
                     np.array([[0.85, 0.8, 0.7]]), np.array([[0.25, 0.3, 0.35]]))
     pts.append(ground)
     cols.append(gcol.repeat(1, axis=0))
-    scales.append(np.full((len(ground), 3), [0.12, 0.02, 0.12]))
+    scales.append(np.full((len(ground), 3), [0.03, 0.008, 0.03]))
 
     # Back wall with vertical stripes.
     w = int(math.sqrt(n * 0.2))
-    wx, wy = np.meshgrid(np.linspace(-4, 4, w), np.linspace(-1, 2.5, w // 2))
+    wx, wy = np.meshgrid(np.linspace(-2.5, 2.5, w),
+                         np.linspace(-0.5, 2.0, w // 2))
     wall = np.stack([wx, wy, np.full_like(wx, 4.0)], -1).reshape(-1, 3)
     stripe = (wx * 3).astype(int) % 3
     wcol = np.stack([0.2 + 0.3 * (stripe == 0), 0.2 + 0.4 * (stripe == 1),
                      0.3 + 0.4 * (stripe == 2)], -1).reshape(-1, 3)
     pts.append(wall)
     cols.append(wcol)
-    scales.append(np.full((len(wall), 3), [0.1, 0.1, 0.02]))
+    scales.append(np.full((len(wall), 3), [0.025, 0.025, 0.008]))
 
     # Fine-texture board: a dense grid of tiny high-frequency colored
     # Gaussians on a tilted plane — sub-pixel at coarse render scales, the
@@ -82,7 +92,7 @@ def build_gt_model(n: int, rng):
                         0.4 + 0.6 * hue], -1)
         pts.append(p)
         cols.append(np.clip(col, 0, 1))
-        scales.append(np.exp(rng.uniform(-4.2, -2.8, (per, 3))))
+        scales.append(np.exp(rng.uniform(-4.4, -3.4, (per, 3))))
 
     pts = np.concatenate(pts).astype(np.float32)
     cols = np.concatenate(cols).astype(np.float32)
@@ -151,7 +161,11 @@ def main():
         out = rasterize(cam, jnp.asarray(pts), jnp.asarray(opac),
                         colors_precomp=jnp.asarray(cols),
                         scales=jnp.asarray(scales), quats=jnp.asarray(quats),
-                        bg=jnp.array([0.6, 0.7, 0.9]), settings=settings)
+                        # Black background — the trainer composites onto
+                        # black (reference train.py:77); a baked-in sky color
+                        # would demand unbounded-size splats the >20 px prune
+                        # deletes every cycle.
+                        bg=jnp.zeros((3,)), settings=settings)
         return out.image
 
     def render_split(split, split_cams):
