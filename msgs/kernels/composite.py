@@ -8,16 +8,13 @@ stream whose 32-entry sub-blocks each belong to exactly one 16×16 tile
 SUB=32 — 4× less padding than 128-alignment, and ~20% fewer wasted
 entry×pixel pairs). The kernel still runs a 1-D grid over groups of
 128-entry payload blocks: the heavy per-pair math (alpha eval,
-transcendentals, prefix products) executes at full 128-row width with the
-prefix scan masked to same-tile runs (`_seg_cumsum_rows`) and per-row
-incoming state selected between the carried scratch state and a fresh tile; only
-the cheap bookkeeping (feature accumulation, T/done updates, state dumps)
-iterates per sub-block. TPU grids execute sequentially on one core, so the
-running tile state lives in VMEM scratch across steps. After each
-sub-block the kernel dumps the running tile state into that sub-block's
-slot of the output; the caller reads each tile's final state from its
-*last* sub-block (`tile_last_sub`, closed form from the binning
-histogram).
+transcendentals, prefix products) executes at full 128-row width; only the
+cheap bookkeeping (T/done updates, state dumps) iterates per sub-block.
+TPU grids execute sequentially on one core, so the running tile state
+lives in VMEM scratch across steps. After each sub-block the kernel dumps
+the running tile state into that sub-block's slot of the output; the
+caller reads each tile's final state from its *last* sub-block
+(`tile_last_sub`, closed form from the binning histogram).
 
 Register layout: **entries live on sublanes (128), pixels on lanes (256)** —
 per-entry constants broadcast as (128, 1) columns, per-pixel state packs into
@@ -25,16 +22,34 @@ dense (1, 256) / (8, 256) rows, prefix products are static sublane-shift
 scans on the VPU, and every per-entry gradient lands as a natural (128, 1)
 column store. No strided sub-lane-width accesses anywhere.
 
+Work split between the VPU and the MXU:
+- Alpha evaluation (the quadratic form in *mean-centred* pixel offsets, the
+  exp, the reference's selection tests) stays on the VPU: expanding the
+  quadratic about the tile origin so the MXU could evaluate it as
+  (coeffs @ pixel-basis) loses ~1e-4 of absolute precision to cancellation
+  for tight splats (terms ~ conic·(TILE+radius)² ≫ |power|), which busts
+  the 1e-5 oracle-parity budget. Forward MXU use is limited to the
+  numerically safe contraction: per-sub feature accumulation
+  featsᵀ @ w (5×SUB×256).
+- The backward pass *is* MXU-friendly: per-entry geometry gradients are
+  one d_power @ Pᵀ matmul against the static local-pixel basis
+  P = [x², xy, y², x, y, 1] (gradient sums have no cancellation against a
+  near-zero true value at tight-splat scale), from which
+  d{conic, mean2D} follow by per-entry chain rules and d_opacity falls out
+  of the ones-row (d_op = d_f0/op). φ and the per-entry feature gradients
+  (colors/depth/psize) are per-sub matmuls against the cotangent rows.
+
 Within a block the sequential front-to-back recurrence
     C += T·α·c ;  T *= (1−α)
-is reformulated with prefix products: cum_i = Π_{j≤i}(1−α_j) computed as
-exp(segmented-Hillis-Steele(log(1−α))) — a run-masked VPU scan over the
-sublane axis (`_seg_cumsum_rows`); weights w_i = α_i·T_in·cum_{i−1} come
-out all at once. The reference CUDA early-out
-semantics (skip α<1/255; a splat that would push T below 1e-4 is dropped and
-the pixel is done — SURVEY.md §2.3 step 3) are reproduced exactly via
-prefix-monotone alive masks and a sticky done flag; fully-done tiles skip
-whole blocks.
+is reformulated with prefix products: cum_i = Π_{j≤i}(1−α_j) via 5 *static*
+sublane-shift Hillis-Steele steps per 32-entry sub-block (sub boundaries
+are static, so the step masks are compile-time row predicates — no
+run-label compares) chained across sub-blocks with scalar-selected carry
+rows; cum_excl is the sublane *shift* of cum_incl (exact — no per-pair
+divide). The reference CUDA early-out semantics (skip α<1/255; a splat
+that would push T below 1e-4 is dropped and the pixel is done — SURVEY.md
+§2.3 step 3) are reproduced exactly via prefix-monotone alive masks and a
+sticky done flag.
 
 The backward pass is a single front-to-back re-traversal (no atomics): with
 φ_i = gC·c_i + gD·d_i + gA·p_i and S_i = Σ_{j>i} w_jφ_j + T_final·gT,
@@ -59,21 +74,36 @@ from msgs.kernels.binning import BLOCK, SUB
 from msgs.kernels.preprocess import ALPHA_MAX, ALPHA_MIN, T_EPS, TILE
 
 NPIX = TILE * TILE     # 256 pixels per tile
-NFEAT = 16             # payload feature columns (12 used + pad)
+NFEAT = 12             # payload feature columns (11 used + pad)
 NOUT = 8               # output channels: r g b depth acc T done pad
 GROUP = 8              # 128-entry payload blocks per grid step
 NSUB = BLOCK // SUB    # tile-aligned sub-blocks per payload block
 SPG = GROUP * NSUB     # sub-blocks per grid step
 
-# Payload feature column indices. [F_R..F_PSIZE] must stay contiguous — the
-# compositor accumulates that slice with one matmul.
-F_MX, F_MY, F_CXX, F_CXY, F_CYY, F_OP, F_VALID = 0, 1, 2, 3, 4, 5, 6
-F_R, F_G, F_B, F_DEPTH, F_PSIZE = 7, 8, 9, 10, 11
+# Payload feature column indices. All 11 live columns are differentiable
+# and contiguous — the gather VJP sorts exactly g[:, :F_PSIZE+1] (or
+# g[:, :F_B+1] under image-only grads). [F_R..F_PSIZE] must stay contiguous:
+# the compositor accumulates that slice with one matmul. There is no VALID
+# column: dummy/null rows carry opacity 0, which the α ≥ 1/255 selection
+# test rejects identically.
+F_MX, F_MY, F_CXX, F_CXY, F_CYY, F_OP = 0, 1, 2, 3, 4, 5
+F_R, F_G, F_B, F_DEPTH, F_PSIZE = 6, 7, 8, 9, 10
 # Output channel (row) indices.
 O_R, O_G, O_B, O_DEPTH, O_ACC, O_T, O_DONE = 0, 1, 2, 3, 4, 5, 6
 # Backward per-block constant rows (pre-gathered by the caller):
 # [g_r, g_g, g_b, g_depth, g_acc, total_phi, t_final·g_T, pad]
 C_GR, C_GG, C_GB, C_GD, C_GA, C_TPHI, C_TFGT = 0, 1, 2, 3, 4, 5, 6
+
+# dot_general dimension numbers: contract sublanes of both operands
+# ("AᵀB", for featsᵀ @ w without a transpose relayout) and lanes of both
+# ("ABᵀ", for d_power @ Pᵀ / w @ gᵀ).
+_DN_TT = (((0,), (0,)), ((), ()))
+_DN_NT = (((1,), (1,)), ((), ()))
+
+
+def _dot(a, b, dn):
+    return jax.lax.dot_general(a, b, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
 
 
 def _pixel_coords(tile_id, tiles_x: int):
@@ -98,31 +128,56 @@ def _alpha_terms(feat, px, py):
     cxy = feat[:, F_CXY:F_CXY + 1]
     cyy = feat[:, F_CYY:F_CYY + 1]
     op = feat[:, F_OP:F_OP + 1]
-    valid = feat[:, F_VALID:F_VALID + 1]
 
     dx = px - mx                                   # (BLOCK, NPIX)
     dy = py - my
     power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
     g = jnp.exp(power)
     alpha_raw = op * g
-    mask = (valid > 0.0) & (alpha_raw >= ALPHA_MIN) & (power <= 0.0)
+    mask = (alpha_raw >= ALPHA_MIN) & (power <= 0.0)
     alpha = jnp.where(mask, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
     return alpha, alpha_raw, g, dx, dy, mask
 
 
+def _sub_row_iota(B):
+    return jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) % SUB
+
+
+def _sub_cumprod_static(x):
+    """Inclusive prefix product along sublanes, segmented at the static
+    SUB-row boundaries: log2(SUB) Hillis-Steele steps whose masks are
+    compile-time row predicates (row%SUB ≥ k) — no run-label compares.
+    The multiply tree matches the oracle's per-sub scan exactly."""
+    B = x.shape[0]
+    row = _sub_row_iota(B)
+    y = x
+    k = 1
+    while k < SUB:
+        pad = jnp.ones((k,) + x.shape[1:], x.dtype)
+        ysh = jnp.concatenate([pad, y[:-k]], axis=0)
+        y = y * jnp.where(row >= k, ysh, 1.0)
+        k *= 2
+    return y
+
+
+def _sub_cumsum_static(x):
+    """Inclusive prefix sum — same static tree with add as the monoid."""
+    B = x.shape[0]
+    row = _sub_row_iota(B)
+    y = x
+    k = 1
+    while k < SUB:
+        pad = jnp.zeros((k,) + x.shape[1:], x.dtype)
+        ysh = jnp.concatenate([pad, y[:-k]], axis=0)
+        y = y + jnp.where(row >= k, ysh, 0.0)
+        k *= 2
+    return y
+
+
 def _seg_cumsum_rows(x, tid_col):
-    """Inclusive segmented prefix sum along axis 0 (entries / sublanes).
-
-    x: (B, NPIX); tid_col: (B, 1) f32 run labels (tile ids) — the sum never
-    crosses a run boundary. Hillis-Steele with static sublane shifts on the
-    VPU: ~4× cheaper than the earlier triangular-MXU-matmul design (three
-    bf16-split (128,128)·(128,256) dots per call dominated the compositor),
-    exact f32 with no bf16 splits, and the run masking is free (a (B,1)
-    label compare per step replaces the masked triangle matrix).
-
-    Parity invariant: the addition tree for an element depends only on its
-    offset within its run, so the jnp oracle's SUB-row pass over one run
-    reproduces the kernel's 128-row masked pass bit-for-bit."""
+    """Run-masked inclusive prefix sum (legacy helper, kept for the oracle
+    and the distribution layer's stripe math): Hillis-Steele with dynamic
+    run-label compares. The kernels now use the static per-sub scans."""
     B = x.shape[0]
     y = x
     k = 1
@@ -136,54 +191,49 @@ def _seg_cumsum_rows(x, tid_col):
     return y
 
 
-def _seg_cumprod_rows(x, tid_col):
-    """Inclusive segmented prefix PRODUCT along axis 0 — the same
-    Hillis-Steele tree as `_seg_cumsum_rows` with multiply as the monoid.
-    Running Π(1−α) directly saves a log and an exp per entry×pixel pair
-    versus exp(scan(log)). Factors lie in [1−ALPHA_MAX, 1]; products of
-    dropped runs underflow harmlessly to 0 (flushed, alive-masked). Same
-    offset-in-run parity invariant as the sum scan."""
-    B = x.shape[0]
-    y = x
-    k = 1
-    while k < B:
-        pad_x = jnp.ones((k,) + x.shape[1:], x.dtype)
-        pad_t = jnp.full((k, 1), -1.0, tid_col.dtype)
-        ysh = jnp.concatenate([pad_x, y[:-k]], axis=0)
-        tsh = jnp.concatenate([pad_t, tid_col[:-k]], axis=0)
-        y = y * jnp.where(tid_col == tsh, ysh, 1.0)
-        k *= 2
-    return y
+def _chain_carries(loc_incl, fresh, mode: str):
+    """Per-sub carry rows for chaining static per-sub scans across a
+    multi-sub tile run within one block.
+
+    loc_incl: (BLOCK, NPIX) within-sub inclusive scan; fresh: NSUB python
+    list of scalar bools (fresh[0] unused — sub 0's carry is the identity:
+    prior-block factors live in the per-row carried state, not the carry).
+    Returns NSUB × (1, NPIX) carry rows (prefix over previous same-run subs).
+    """
+    ident = 1.0 if mode == "mul" else 0.0
+    carries = [jnp.full((1, NPIX), ident, jnp.float32)]
+    for k in range(1, NSUB):
+        last = loc_incl[k * SUB - 1:k * SUB, :]
+        prev_tot = (carries[k - 1] * last if mode == "mul"
+                    else carries[k - 1] + last)
+        carries.append(jnp.where(fresh[k], ident, prev_tot))
+    return carries
 
 
 def _prefix_products(alpha, t_in):
     """cum_incl/cum_excl along the entry axis + per-entry T_after.
 
-    alpha: (BLOCK, NPIX); t_in: (1, NPIX).
-    """
+    alpha: (SUB, NPIX) single-tile rows; t_in: (1, NPIX). cum_excl is the
+    sublane shift of cum_incl (exact), matching the kernel."""
     f = 1.0 - alpha
-    one_run = jnp.zeros((alpha.shape[0], 1), jnp.float32)
-    cum_incl = _seg_cumprod_rows(f, one_run)
-    cum_excl = cum_incl / f
+    cum_incl = _sub_cumprod_static(f)
+    cum_excl = jnp.concatenate(
+        [jnp.ones((1, alpha.shape[1]), jnp.float32), cum_incl[:-1]], axis=0)
     t_after = t_in * cum_incl                     # T if entries ≤ i applied
     return f, cum_incl, cum_excl, t_after
 
 
 def _block_forward(feat, px, py, t_in, done):
-    """One block of front-to-back compositing (shared by kernel + oracle).
+    """One sub-block of front-to-back compositing (oracle building block).
 
     Returns (acc_delta (5, NPIX), t_new (1, NPIX), done_new (1, NPIX),
-    w (BLOCK, NPIX))."""
+    w (SUB, NPIX))."""
     alpha, _, _, _, _, _ = _alpha_terms(feat, px, py)
     _, cum_incl, cum_excl, t_after = _prefix_products(alpha, t_in)
     alive = (t_after >= T_EPS).astype(jnp.float32) * (1.0 - done)
-    w = alpha * t_in * cum_excl * alive            # (BLOCK, NPIX)
+    w = alpha * t_in * cum_excl * alive            # (SUB, NPIX)
 
-    # Feature accumulation as exact-f32 VPU broadcast-reduces (5 features:
-    # cheaper than precision-preserving MXU passes at this tiny contraction).
-    acc = jnp.stack([
-        jnp.sum(feat[:, F_R + i:F_R + i + 1] * w, axis=0)
-        for i in range(5)], axis=0)                # (5, NPIX)
+    acc = _dot(feat[:, F_R:F_PSIZE + 1], w, _DN_TT)    # (5, NPIX)
 
     t_new = jnp.min(jnp.where(alive > 0.0, t_after, t_in), axis=0,
                     keepdims=True)
@@ -210,6 +260,14 @@ def _local_pix():
             (p // TILE).astype(jnp.float32))
 
 
+def _local_basis():
+    """Static (6, NPIX) tile-local pixel monomial basis [x², xy, y², x, y, 1]
+    — Pᵀ of the backward geometry-gradient matmul."""
+    x, y = _local_pix()
+    return jnp.concatenate(
+        [x * x, x * y, y * y, x, y, jnp.ones((1, NPIX), jnp.float32)], axis=0)
+
+
 def _sub_cols(vals):
     """NSUB scalars → (BLOCK, 1) f32 column, constant per SUB-row group."""
     return jnp.concatenate(
@@ -227,8 +285,9 @@ class _BlockCtx:
 
     Every SUB-entry row group belongs to one tile (binning aligns tile
     segments to SUB); the heavy per-pair math runs at full 128-row width,
-    with the prefix matrix masked to same-tile runs and per-row incoming
-    state selected between the carried scratch state and a fresh tile."""
+    with per-sub static scans chained by scalar-selected carries and
+    per-row incoming state selected between the carried scratch state and
+    a fresh tile."""
 
     def __init__(self, feat, tids, prev_tid, not_first, t_run, done_run,
                  tiles_x: int, width: int, height: int):
@@ -236,12 +295,11 @@ class _BlockCtx:
         tys = [(t // tiles_x).astype(jnp.float32) * TILE for t in tids]
         ox_col = _sub_cols(txs)
         oy_col = _sub_cols(tys)
-        tid_col = _sub_cols([t.astype(jnp.float32) for t in tids])
         prev_f = prev_tid.astype(jnp.float32)
+        tid_col = _sub_cols([t.astype(jnp.float32) for t in tids])
         # Bool select (never an arithmetic blend): the scratch state is
         # garbage before the first real tile, and 0·NaN would poison it.
         carried = (tid_col == prev_f) & not_first   # (BLOCK, 1) bool
-        self.tid_col = tid_col
 
         pxl, pyl = _local_pix()                    # (1, NPIX)
         mxl = feat[:, F_MX:F_MX + 1] - ox_col      # (BLOCK, 1)
@@ -250,19 +308,35 @@ class _BlockCtx:
         cxy = feat[:, F_CXY:F_CXY + 1]
         cyy = feat[:, F_CYY:F_CYY + 1]
         op = feat[:, F_OP:F_OP + 1]
-        valid = feat[:, F_VALID:F_VALID + 1]
 
         dx = pxl - mxl                             # (BLOCK, NPIX)
         dy = pyl - myl
         power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
         gsp = jnp.exp(power)
         alpha_raw = op * gsp
-        mask = (valid > 0.0) & (alpha_raw >= ALPHA_MIN) & (power <= 0.0)
+        mask = (alpha_raw >= ALPHA_MIN) & (power <= 0.0)
         alpha = jnp.where(mask, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
 
+        # fresh[k]: sub k starts a new tile run within this block (fresh[0]
+        # refers to the block boundary and only gates the *state chain* —
+        # the scan carry for sub 0 is always the identity).
+        fresh = [None] * NSUB
+        for k in range(1, NSUB):
+            fresh[k] = tids[k] != tids[k - 1]
+
         f = 1.0 - alpha
-        cum_incl = _seg_cumprod_rows(f, tid_col)
-        cum_excl = cum_incl / f
+        loc = _sub_cumprod_static(f)
+        carries = _chain_carries(loc, fresh, "mul")
+        row = _sub_row_iota(BLOCK)
+        excl_loc = jnp.where(
+            row >= 1,
+            jnp.concatenate([jnp.ones((1, NPIX), jnp.float32), loc[:-1]], 0),
+            1.0)
+        cum_incl = jnp.concatenate(
+            [loc[k * SUB:(k + 1) * SUB] * carries[k] for k in range(NSUB)], 0)
+        cum_excl = jnp.concatenate(
+            [excl_loc[k * SUB:(k + 1) * SUB] * carries[k]
+             for k in range(NSUB)], 0)
 
         # Per-row incoming transmittance/done: a carried run continues the
         # scratch state; fresh runs start at T=1 with off-image pixels done.
@@ -273,33 +347,35 @@ class _BlockCtx:
         t_after = t_in * cum_incl
         alive = (t_after >= T_EPS).astype(jnp.float32) * (1.0 - done)
 
+        self.mxl, self.myl = mxl, myl
+        self.cxx, self.cxy, self.cyy, self.op = cxx, cxy, cyy, op
         self.alpha, self.alpha_raw, self.gsp = alpha, alpha_raw, gsp
         self.mask, self.f = mask, f
         self.dx, self.dy = dx, dy
         self.cum_excl, self.t_after = cum_excl, t_after
         self.t_in, self.alive = t_in, alive
         self.w = alpha * t_in * cum_excl * alive   # (BLOCK, NPIX)
-        self.tids, self.carried = tids, carried
+        self.tids, self.carried, self.fresh = tids, carried, fresh
         self.outside = outside                     # (BLOCK, NPIX)
         self.carried0 = (tids[0] == prev_tid) & not_first
 
 
-def _sub_states(ctx, feat, state_ref, w):
+def _sub_accs(ctx, feat, w):
+    """Per-sub feature accumulation on the MXU: featsᵀ @ w (5, NPIX)."""
+    return [_dot(feat[k * SUB:(k + 1) * SUB, F_R:F_PSIZE + 1],
+                 w[k * SUB:(k + 1) * SUB], _DN_TT)
+            for k in range(NSUB)]
+
+
+def _sub_states(ctx, accs, state_ref):
     """Per-sub-block output states as a branch-free select chain.
 
-    Returns (states, accs) where states[k] is the (NOUT, NPIX) tile state
-    after applying sub-block k (what the reference per-sub RMW loop used to
-    build in scratch, step by step, behind `pl.when(first)` branches — the
-    branches and the 3-row read-modify-write chain per sub-block were the
-    compositor's single biggest cost). Rounding stays left-associative
-    (base, then acc_j ascending) so values match the jnp oracle exactly.
-    """
-    accs, tmins, lastts = [], [], []
+    Returns states where states[k] is the (NOUT, NPIX) tile state after
+    applying sub-block k. Rounding stays left-associative (base, then
+    acc_j ascending) so values match the jnp oracle exactly."""
+    tmins, lastts = [], []
     for k in range(NSUB):
         rows = slice(k * SUB, (k + 1) * SUB)
-        accs.append(jnp.stack([
-            jnp.sum(feat[rows, F_R + i:F_R + i + 1] * w[rows], axis=0)
-            for i in range(5)], axis=0))           # (5, NPIX)
         tmins.append(jnp.min(
             jnp.where(ctx.alive[rows] > 0.0, ctx.t_after[rows], 2.0),
             axis=0, keepdims=True))                # (1, NPIX)
@@ -310,11 +386,9 @@ def _sub_states(ctx, feat, state_ref, w):
     t_st = state_ref[O_T:O_T + 1, :]
     done_st = state_ref[O_DONE:O_DONE + 1, :]
     for k in range(NSUB):
-        fresh = (ctx.tids[k] != ctx.tids[k - 1]) if k > 0 else \
-            jnp.logical_not(ctx.carried0)          # scalar bool
+        fresh = ctx.fresh[k] if k > 0 else jnp.logical_not(ctx.carried0)
         outside_k = ctx.outside[k * SUB:k * SUB + 1, :]
-        acc_st = jnp.where(fresh, accs[k],
-                           acc_st + accs[k])
+        acc_st = jnp.where(fresh, accs[k], acc_st + accs[k])
         t_st = jnp.minimum(jnp.where(fresh, 1.0, t_st), tmins[k])
         done_st = jnp.maximum(
             jnp.where(fresh, outside_k, done_st),
@@ -353,7 +427,8 @@ def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
                             state_ref[O_DONE:O_DONE + 1, :],
                             tiles_x, width, height)
             wmax = jnp.max(ctx.w, axis=1, keepdims=True)   # (BLOCK, 1)
-            states = _sub_states(ctx, feat, state_ref, ctx.w)
+            accs = _sub_accs(ctx, feat, ctx.w)
+            states = _sub_states(ctx, accs, state_ref)
             delta = jnp.zeros((SUB, 128), jnp.float32)
             for k in range(NSUB):
                 sb = sb0 + k
@@ -372,6 +447,8 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
     cst_refs = rest[:SPG]                          # SPG × (1, 8, NPIX)
     dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
     s = pl.program_id(0)
+    nf_phi = 3 if image_only else 5                # r g b (depth psize)
+    basis = _local_basis()                         # (6, NPIX) static
 
     dpay_ref[...] = jnp.zeros((GROUP, BLOCK, NFEAT), jnp.float32)
 
@@ -394,22 +471,28 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             t_i = ctx.t_in * ctx.cum_excl          # transmittance before i
             w = ctx.w                              # (BLOCK, NPIX)
 
-            gr = _sub_rows([c[C_GR:C_GR + 1, :] for c in csts])
-            gg = _sub_rows([c[C_GG:C_GG + 1, :] for c in csts])
-            gb = _sub_rows([c[C_GB:C_GB + 1, :] for c in csts])
+            # φ and per-entry feature grads: per-sub matmuls against the
+            # sub's constant cotangent rows g_k = (nf_phi, NPIX).
+            phi_parts, dfeat_parts = [], []
+            for k in range(NSUB):
+                rows = slice(k * SUB, (k + 1) * SUB)
+                g_k = csts[k][C_GR:C_GR + nf_phi, :]
+                phi_parts.append(jax.lax.dot_general(
+                    feat[rows, F_R:F_R + nf_phi], g_k,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+                dfeat_parts.append(_dot(w[rows], g_k, _DN_NT))  # (SUB, nf)
+            phi = jnp.concatenate(phi_parts, axis=0)            # (B, NPIX)
+            dfeat = jnp.concatenate(dfeat_parts, axis=0)        # (B, nf)
 
-            phi = (feat[:, F_R:F_R + 1] * gr
-                   + feat[:, F_G:F_G + 1] * gg
-                   + feat[:, F_B:F_B + 1] * gb)    # (BLOCK, NPIX)
-            if not image_only:
-                gd = _sub_rows([c[C_GD:C_GD + 1, :] for c in csts])
-                ga = _sub_rows([c[C_GA:C_GA + 1, :] for c in csts])
-                phi = phi + feat[:, F_DEPTH:F_DEPTH + 1] * gd
-                phi = phi + feat[:, F_PSIZE:F_PSIZE + 1] * ga
-
-            # Per-run wphi prefix with the carried-run offset.
+            # Per-run wφ prefix: static per-sub scans + scalar carries +
+            # the carried-run scratch offset.
             p_rows = jnp.where(ctx.carried, state_ref[2:3, :], 0.0)
-            prefix = p_rows + _seg_cumsum_rows(w * phi, ctx.tid_col)
+            loc = _sub_cumsum_static(w * phi)
+            carries = _chain_carries(loc, ctx.fresh, "add")
+            prefix = p_rows + jnp.concatenate(
+                [loc[k * SUB:(k + 1) * SUB] + carries[k]
+                 for k in range(NSUB)], axis=0)
 
             sfx_c = _sub_rows([
                 c[C_TPHI:C_TPHI + 1, :] + c[C_TFGT:C_TFGT + 1, :]
@@ -420,37 +503,40 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
                 ctx.mask.astype(jnp.float32)
             unclamped = (ctx.alpha_raw < ALPHA_MAX).astype(jnp.float32)
             d_power = d_alpha * ctx.alpha * unclamped
-            d_op = jnp.sum(d_alpha * ctx.gsp * unclamped, axis=1)
 
-            cxx = feat[:, F_CXX:F_CXX + 1]
-            cxy = feat[:, F_CXY:F_CXY + 1]
-            cyy = feat[:, F_CYY:F_CYY + 1]
-            dx, dy = ctx.dx, ctx.dy
-            ddx = d_power * (-(cxx * dx + cxy * dy))
-            ddy = d_power * (-(cyy * dy + cxy * dx))
-            d_mx = -jnp.sum(ddx, axis=1)
-            d_my = -jnp.sum(ddy, axis=1)
-            d_cxx = jnp.sum(d_power * (-0.5 * dx * dx), axis=1)
-            d_cxy = jnp.sum(d_power * (-dx * dy), axis=1)
-            d_cyy = jnp.sum(d_power * (-0.5 * dy * dy), axis=1)
-
-            d_colors = jnp.stack([
-                jnp.sum(w * gc, axis=1) for gc in (gr, gg, gb)],
-                axis=1)                            # (BLOCK, 3)
+            # Geometry gradients: one MXU contraction against the static
+            # local-pixel basis, then per-entry chain rules.
+            dcoef = _dot(d_power, basis, _DN_NT)   # (BLOCK, 6)
+            d_q20 = dcoef[:, 0:1]                  # Σ d_power·x²
+            d_q11 = dcoef[:, 1:2]                  # Σ d_power·xy
+            d_q02 = dcoef[:, 2:3]                  # Σ d_power·y²
+            d_q10 = dcoef[:, 3:4]                  # Σ d_power·x
+            d_q01 = dcoef[:, 4:5]                  # Σ d_power·y
+            d_q00 = dcoef[:, 5:6]                  # Σ d_power
+            mxl, myl = ctx.mxl, ctx.myl
+            cxx, cxy, cyy = ctx.cxx, ctx.cxy, ctx.cyy
+            # power = −½cxx(x−mxl)² − ½cyy(y−myl)² − cxy(x−mxl)(y−myl):
+            # d_cxx = Σ d_power·(−½(x−mxl)²) expanded in the monomial sums.
+            d_cxx = -0.5 * (d_q20 - 2.0 * mxl * d_q10 + mxl * mxl * d_q00)
+            d_cyy = -0.5 * (d_q02 - 2.0 * myl * d_q01 + myl * myl * d_q00)
+            d_cxy = -(d_q11 - myl * d_q10 - mxl * d_q01 + mxl * myl * d_q00)
+            d_mx = cxx * (d_q10 - mxl * d_q00) + cxy * (d_q01 - myl * d_q00)
+            d_my = cyy * (d_q01 - myl * d_q00) + cxy * (d_q10 - mxl * d_q00)
+            # α = op·exp(power) ⇒ d_op = Σ d_alpha·exp(power) = d_q00/op
+            # (d_power = d_alpha·α·unclamped and α = op·exp(power) on the
+            # surviving rows; op = 0 only on dummy rows, whose mask is 0).
+            d_op = jnp.where(ctx.op > 0.0, d_q00 / jnp.maximum(ctx.op, 1e-30),
+                             0.0)
 
             # Column stores — natural in the entry-major layout.
-            dpay_ref[g, :, F_MX] = d_mx
-            dpay_ref[g, :, F_MY] = d_my
-            dpay_ref[g, :, F_CXX] = d_cxx
-            dpay_ref[g, :, F_CXY] = d_cxy
-            dpay_ref[g, :, F_CYY] = d_cyy
-            dpay_ref[g, :, F_OP] = d_op
-            dpay_ref[g, :, F_R] = d_colors[:, 0]
-            dpay_ref[g, :, F_G] = d_colors[:, 1]
-            dpay_ref[g, :, F_B] = d_colors[:, 2]
-            if not image_only:
-                dpay_ref[g, :, F_DEPTH] = jnp.sum(w * gd, axis=1)
-                dpay_ref[g, :, F_PSIZE] = jnp.sum(w * ga, axis=1)
+            dpay_ref[g, :, F_MX] = d_mx[:, 0]
+            dpay_ref[g, :, F_MY] = d_my[:, 0]
+            dpay_ref[g, :, F_CXX] = d_cxx[:, 0]
+            dpay_ref[g, :, F_CXY] = d_cxy[:, 0]
+            dpay_ref[g, :, F_CYY] = d_cyy[:, 0]
+            dpay_ref[g, :, F_OP] = d_op[:, 0]
+            for i in range(nf_phi):
+                dpay_ref[g, :, F_R + i] = dfeat[:, i]
 
             # Advance the per-tile scratch exactly as the forward pass
             # does, but branch-free and only to the block's final state
@@ -458,7 +544,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             t_st = state_ref[0:1, :]
             done_st = state_ref[1:2, :]
             for k in range(NSUB):
-                fresh = (tids[k] != tids[k - 1]) if k > 0 else \
+                fresh = ctx.fresh[k] if k > 0 else \
                     jnp.logical_not(ctx.carried0)
                 rows = slice(k * SUB, (k + 1) * SUB)
                 tmin = jnp.min(

@@ -136,10 +136,9 @@ def _gather_payload(table, gid, gid_starts, image_only: bool = False):
     gradients by Gaussian id and segment-reduces them — never an E-row-table
     gather or a colliding scatter.
 
-    Contract: only the payload columns [0, F_OP] ∪ [F_R, F_PSIZE] are
-    differentiable — the VALID flag and pad columns must carry zero
-    cotangents (the compositor's bwd kernel never writes them), and their
-    table gradient is returned as zero."""
+    Contract: only the payload columns [0, F_PSIZE] are differentiable —
+    the pad columns must carry zero cotangents (the compositor's bwd kernel
+    never writes them), and their table gradient is returned as zero."""
     return table[gid]
 
 
@@ -149,21 +148,17 @@ def _gather_payload_fwd(table, gid, gid_starts, image_only: bool = False):
 
 def _gather_payload_bwd(image_only, res, g):
     n1, gid, gid_starts = res
-    # Only the differentiable payload columns ride the sort (the VALID flag
-    # and pad columns carry structurally-zero cotangents; with image-only
-    # grads, depth/psize too) — each sort operand costs ~3 ms at bench
-    # entry counts.
+    # Only the differentiable payload columns ride the sort — one contiguous
+    # slice now that the VALID flag is gone (pad columns, and depth/psize
+    # under image-only grads, carry structurally-zero cotangents) — each
+    # sort operand costs ~1 ms at bench entry counts.
     last = comp.F_B if image_only else comp.F_PSIZE
-    g_live = jnp.concatenate(
-        [g[:, :comp.F_OP + 1], g[:, comp.F_R:last + 1]], axis=1)
+    g_live = g[:, :last + 1]
     g_sorted = _sort_by_gid(gid, g_live)
     d_live = _segmented_sums(g_sorted, gid_starts, n1 - 1)
     n = n1 - 1
     d = jnp.concatenate([
-        d_live[:, :comp.F_OP + 1],
-        jnp.zeros((n, comp.F_R - comp.F_OP - 1), g.dtype),
-        d_live[:, comp.F_OP + 1:],
-        jnp.zeros((n, g.shape[1] - last - 1), g.dtype)], axis=1)
+        d_live, jnp.zeros((n, g.shape[1] - last - 1), g.dtype)], axis=1)
     d_table = jnp.concatenate([d, jnp.zeros((1, g.shape[1]), g.dtype)], 0)
 
     def _f0(shape):
@@ -210,7 +205,8 @@ def composite_pipeline(pre, width: int, height: int,
     feats = feats.at[:N, comp.F_OP].set(pre.opacities)
     feats = feats.at[:N, comp.F_DEPTH].set(pre.depths)
     feats = feats.at[:N, comp.F_PSIZE].set(pre.pixel_sizes)
-    feats = feats.at[:N, comp.F_VALID].set(1.0)
+    # No VALID column: the sentinel row's opacity 0 fails the α ≥ 1/255
+    # selection test, which nulls dummy/truncated entries identically.
 
     entry_feat = _gather_payload(feats, binned.gauss_id, binned.gid_starts,
                                  settings.image_grads_only)

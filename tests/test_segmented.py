@@ -40,10 +40,9 @@ def test_gather_payload_vjp_matches_gather_autodiff():
     table = np.zeros((N + 1, F), np.float32)
     table[:N] = rng.normal(size=(N, F)).astype(np.float32)
     cot = rng.normal(size=(E, F)).astype(np.float32)
-    # The VJP's contract: the VALID flag and pad columns carry zero
-    # cotangents (the compositor's bwd kernel never writes them).
+    # The VJP's contract: the pad columns carry zero cotangents (the
+    # compositor's bwd kernel never writes them).
     from msgs.kernels import composite as comp
-    cot[:, comp.F_VALID] = 0.0
     cot[:, comp.F_PSIZE + 1:] = 0.0
     gid = jnp.asarray(gid_packed)
 

@@ -58,7 +58,6 @@ feats = feats.at[:N, comp.F_R:comp.F_B + 1].set(pre.colors)
 feats = feats.at[:N, comp.F_OP].set(pre.opacities)
 feats = feats.at[:N, comp.F_DEPTH].set(pre.depths)
 feats = feats.at[:N, comp.F_PSIZE].set(pre.pixel_sizes)
-feats = feats.at[:N, comp.F_VALID].set(1.0)
 payload = jax.block_until_ready(
     feats[binned.gauss_id].reshape(-1, BLOCK, comp.NFEAT))
 sub_tile = binned.sub_tile

@@ -85,7 +85,6 @@ def main():
         feats = jnp.zeros((Nn + 1, comp.NFEAT), jnp.float32)
         feats = feats.at[:Nn, comp.F_MX].set(pre.means2d[:, 0])
         feats = feats.at[:Nn, comp.F_R:comp.F_B + 1].set(pre.colors)
-        feats = feats.at[:Nn, comp.F_VALID].set(1.0)
         ef = rz._gather_payload(feats, binned.gauss_id, binned.gid_starts)
         return ef.reshape(-1, BLOCK, comp.NFEAT)
     timeit("payload gather", payload_f, pre, binned)
