@@ -195,18 +195,20 @@ def composite_pipeline(pre, width: int, height: int,
         jax.tree_util.tree_map(jax.lax.stop_gradient, pre),
         width, height, settings.entry_cap)
 
-    feats = jnp.zeros((N + 1, comp.NFEAT), jnp.float32)
-    feats = feats.at[:N, comp.F_MX].set(pre.means2d[:, 0])
-    feats = feats.at[:N, comp.F_MY].set(pre.means2d[:, 1])
-    feats = feats.at[:N, comp.F_CXX].set(pre.conics[:, 0])
-    feats = feats.at[:N, comp.F_CXY].set(pre.conics[:, 1])
-    feats = feats.at[:N, comp.F_CYY].set(pre.conics[:, 2])
-    feats = feats.at[:N, comp.F_R:comp.F_B + 1].set(pre.colors)
-    feats = feats.at[:N, comp.F_OP].set(pre.opacities)
-    feats = feats.at[:N, comp.F_DEPTH].set(pre.depths)
-    feats = feats.at[:N, comp.F_PSIZE].set(pre.pixel_sizes)
-    # No VALID column: the sentinel row's opacity 0 fails the α ≥ 1/255
-    # selection test, which nulls dummy/truncated entries identically.
+    # One stack + pad row (not a chain of column scatters). Column order is
+    # the comp.F_* layout; no VALID column — the sentinel row's opacity 0
+    # fails the α ≥ 1/255 selection test, which nulls dummy/truncated
+    # entries identically.
+    cols = jnp.stack([
+        pre.means2d[:, 0], pre.means2d[:, 1],
+        pre.conics[:, 0], pre.conics[:, 1], pre.conics[:, 2],
+        pre.opacities,
+        pre.colors[:, 0], pre.colors[:, 1], pre.colors[:, 2],
+        pre.depths, pre.pixel_sizes,
+    ] + [jnp.zeros((N,), jnp.float32)] * (comp.NFEAT - comp.F_PSIZE - 1),
+        axis=1)
+    feats = jnp.concatenate(
+        [cols, jnp.zeros((1, comp.NFEAT), jnp.float32)], axis=0)
 
     entry_feat = _gather_payload(feats, binned.gauss_id, binned.gid_starts,
                                  settings.image_grads_only)
