@@ -82,7 +82,11 @@ def main():
         t0 = time.perf_counter()
         for _ in range(iters):
             l, ne, g = fwd_bwd(*args)
-        jax.block_until_ready(g)
+        # A real host fetch, not block_until_ready: over the axon tunnel
+        # block_until_ready only flushes the command buffer (see
+        # tools/profile_stages.py) — a device→host readback is the only
+        # reliable completion barrier.
+        float(np.asarray(l))
         rep_times.append((time.perf_counter() - t0) / iters)
     dt = min(rep_times)
 

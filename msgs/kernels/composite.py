@@ -94,16 +94,14 @@ O_R, O_G, O_B, O_DEPTH, O_ACC, O_T, O_DONE = 0, 1, 2, 3, 4, 5, 6
 # [g_r, g_g, g_b, g_depth, g_acc, total_phi, t_final·g_T, pad]
 C_GR, C_GG, C_GB, C_GD, C_GA, C_TPHI, C_TFGT = 0, 1, 2, 3, 4, 5, 6
 
-# dot_general dimension numbers: contract sublanes of both operands
-# ("AᵀB", for featsᵀ @ w without a transpose relayout) and lanes of both
-# ("ABᵀ", for d_power @ Pᵀ / w @ gᵀ).
-_DN_TT = (((0,), (0,)), ((), ()))
-_DN_NT = (((1,), (1,)), ((), ()))
+# In-kernel contractions use only plain NN `jnp.dot` — the one dot_general
+# form Mosaic supports unconditionally; anything needing a transposed
+# operand gets that operand pre-transposed outside the kernel (the static
+# pixel basis, the per-tile cotangent table).
 
 
-def _dot(a, b, dn):
-    return jax.lax.dot_general(a, b, dimension_numbers=dn,
-                               preferred_element_type=jnp.float32)
+def _dot(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
 def _pixel_coords(tile_id, tiles_x: int):
@@ -233,7 +231,10 @@ def _block_forward(feat, px, py, t_in, done):
     alive = (t_after >= T_EPS).astype(jnp.float32) * (1.0 - done)
     w = alpha * t_in * cum_excl * alive            # (SUB, NPIX)
 
-    acc = _dot(feat[:, F_R:F_PSIZE + 1], w, _DN_TT)    # (5, NPIX)
+    # Exact-f32 VPU broadcast-reduces, same addition tree as the kernel.
+    acc = jnp.stack([
+        jnp.sum(feat[:, F_R + i:F_R + i + 1] * w, axis=0)
+        for i in range(5)], axis=0)                # (5, NPIX)
 
     t_new = jnp.min(jnp.where(alive > 0.0, t_after, t_in), axis=0,
                     keepdims=True)
@@ -260,12 +261,16 @@ def _local_pix():
             (p // TILE).astype(jnp.float32))
 
 
-def _local_basis():
-    """Static (6, NPIX) tile-local pixel monomial basis [x², xy, y², x, y, 1]
-    — Pᵀ of the backward geometry-gradient matmul."""
-    x, y = _local_pix()
+def _local_basis_t():
+    """Static (NPIX, 8) tile-local pixel monomial basis [x², xy, y², x, y, 1]
+    (plus two zero pad columns), pre-transposed so the backward geometry
+    gradient is a plain NN matmul `d_power @ basis`."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
+    x = (p % TILE).astype(jnp.float32)
+    y = (p // TILE).astype(jnp.float32)
     return jnp.concatenate(
-        [x * x, x * y, y * y, x, y, jnp.ones((1, NPIX), jnp.float32)], axis=0)
+        [x * x, x * y, y * y, x, y, jnp.ones((NPIX, 1), jnp.float32),
+         jnp.zeros((NPIX, 2), jnp.float32)], axis=1)
 
 
 def _sub_cols(vals):
@@ -361,10 +366,16 @@ class _BlockCtx:
 
 
 def _sub_accs(ctx, feat, w):
-    """Per-sub feature accumulation on the MXU: featsᵀ @ w (5, NPIX)."""
-    return [_dot(feat[k * SUB:(k + 1) * SUB, F_R:F_PSIZE + 1],
-                 w[k * SUB:(k + 1) * SUB], _DN_TT)
-            for k in range(NSUB)]
+    """Per-sub feature accumulation: exact-f32 VPU broadcast-reduces (the
+    MXU form needs a transposed operand Mosaic can't be trusted with, and
+    at 5×SUB×256 the VPU cost is small)."""
+    out = []
+    for k in range(NSUB):
+        rows = slice(k * SUB, (k + 1) * SUB)
+        out.append(jnp.stack([
+            jnp.sum(feat[rows, F_R + i:F_R + i + 1] * w[rows], axis=0)
+            for i in range(5)], axis=0))           # (5, NPIX)
+    return out
 
 
 def _sub_states(ctx, accs, state_ref):
@@ -445,10 +456,11 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
                 tiles_x: int, width: int, height: int,
                 image_only: bool = False):
     cst_refs = rest[:SPG]                          # SPG × (1, 8, NPIX)
-    dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
+    cstt_refs = rest[SPG:2 * SPG]                  # SPG × (1, NPIX, 8)
+    dpay_ref, state_ref = rest[2 * SPG], rest[2 * SPG + 1]
     s = pl.program_id(0)
     nf_phi = 3 if image_only else 5                # r g b (depth psize)
-    basis = _local_basis()                         # (6, NPIX) static
+    basis = _local_basis_t()                       # (NPIX, 8) static
 
     dpay_ref[...] = jnp.zeros((GROUP, BLOCK, NFEAT), jnp.float32)
 
@@ -471,17 +483,16 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             t_i = ctx.t_in * ctx.cum_excl          # transmittance before i
             w = ctx.w                              # (BLOCK, NPIX)
 
-            # φ and per-entry feature grads: per-sub matmuls against the
-            # sub's constant cotangent rows g_k = (nf_phi, NPIX).
+            # φ and per-entry feature grads: per-sub NN matmuls against the
+            # sub's constant cotangent rows g_k (nf, NPIX) and their
+            # pre-transposed copy gt_k (NPIX, nf).
             phi_parts, dfeat_parts = [], []
             for k in range(NSUB):
                 rows = slice(k * SUB, (k + 1) * SUB)
                 g_k = csts[k][C_GR:C_GR + nf_phi, :]
-                phi_parts.append(jax.lax.dot_general(
-                    feat[rows, F_R:F_R + nf_phi], g_k,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))
-                dfeat_parts.append(_dot(w[rows], g_k, _DN_NT))  # (SUB, nf)
+                gt_k = cstt_refs[g * NSUB + k][0][:, C_GR:C_GR + nf_phi]
+                phi_parts.append(_dot(feat[rows, F_R:F_R + nf_phi], g_k))
+                dfeat_parts.append(_dot(w[rows], gt_k))         # (SUB, nf)
             phi = jnp.concatenate(phi_parts, axis=0)            # (B, NPIX)
             dfeat = jnp.concatenate(dfeat_parts, axis=0)        # (B, nf)
 
@@ -506,7 +517,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
 
             # Geometry gradients: one MXU contraction against the static
             # local-pixel basis, then per-entry chain rules.
-            dcoef = _dot(d_power, basis, _DN_NT)   # (BLOCK, 6)
+            dcoef = _dot(d_power, basis)           # (BLOCK, 8), cols 6-7 pad
             d_q20 = dcoef[:, 0:1]                  # Σ d_power·x²
             d_q11 = dcoef[:, 1:2]                  # Σ d_power·xy
             d_q02 = dcoef[:, 2:3]                  # Σ d_power·y²
@@ -619,6 +630,9 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
         cot[:, O_ACC:O_ACC + 1, :],
         total_phi, tf_gt,
         jnp.zeros_like(tf_gt)], axis=1)             # (T, 8, NPIX)
+    # The transposed copy feeds the per-entry feature-gradient NN matmuls
+    # (w @ gt) without any in-kernel transpose.
+    cst_tt = jnp.transpose(cst_t, (0, 2, 1))        # (T, NPIX, 8)
     # The kernel pulls each sub-block's constant rows straight from the
     # small (T, 8, NPIX) table with scalar-prefetched dynamic index maps —
     # no (S_cap, 8, NPIX) materialization.
@@ -628,13 +642,20 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
             lambda s, st, sv, j=j: (st[s * SPG + j], 0, 0),
             memory_space=pltpu.VMEM)
 
+    def cstt_spec(j):
+        return pl.BlockSpec(
+            (1, NPIX, 8),
+            lambda s, st, sv, j=j: (st[s * SPG + j], 0, 0),
+            memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b_cap // GROUP,),
         in_specs=[
             pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [cst_spec(j) for j in range(SPG)],
+        ] + [cst_spec(j) for j in range(SPG)]
+          + [cstt_spec(j) for j in range(SPG)],
         out_specs=[
             pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -647,7 +668,7 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
         interpret=_interpret(),
-    )(sub_tile, sub_valid, payload, *([cst_t] * SPG))
+    )(sub_tile, sub_valid, payload, *([cst_t] * SPG), *([cst_tt] * SPG))
     return dpay
 
 
