@@ -27,7 +27,7 @@ run() {
   echo "=== $name finished: $(date) ==="
 }
 
-run base
+run base --ms_test_scales 1 2 4 8 16 32 64
 run abl_ms_train    $MS_COMMON
 run abl_filter_small $MS_COMMON --filter_small
 run ms              $MS_COMMON --filter_small --insert_large
