@@ -28,8 +28,39 @@ N = 100_000
 ENTRY_CAP = 1_572_864
 
 
+def _probe_device(timeout_s: int = 180) -> bool:
+    """True iff the default JAX backend initializes within `timeout_s`.
+
+    The axon TPU tunnel, when its relay is down, HANGS jax.devices()
+    forever (no error) — probing in a subprocess is the only safe test.
+    On a dead tunnel the bench falls back to CPU so the driver still gets
+    a JSON line (clearly labeled via detail.backend) instead of a hang."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    global W, H, N, ENTRY_CAP
+    cpu_fallback = (os.environ.get("PALLAS_AXON_POOL_IPS")
+                    and not _probe_device())
     import jax
+    if cpu_fallback:
+        # sitecustomize pinned jax_platforms="axon,cpu" at interpreter
+        # start; re-pin before any backend initializes. Interpret-mode
+        # Pallas on CPU is ~1000× the chip, so shrink the workload to
+        # keep the fallback line finite; detail.backend + detail.width
+        # mark the number as NOT comparable to TPU rounds.
+        print("bench: TPU tunnel unreachable — falling back to CPU",
+              flush=True)
+        jax.config.update("jax_platforms", "cpu")
+        W, H, N, ENTRY_CAP = 512, 288, 20_000, 1 << 17
     try:
         cache_dir = os.path.join(os.path.dirname(
             os.path.abspath(__file__)), ".jax_cache")
@@ -76,7 +107,7 @@ def main():
     # of jitter per dispatch round, which made single-shot runs disagree
     # with tuned local numbers by ~50% (VERDICT round 1, weak #1). The min
     # is the honest device throughput; per-rep times are reported too.
-    iters, reps = 10, 5
+    iters, reps = (2, 2) if cpu_fallback else (10, 5)
     rep_times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -101,6 +132,7 @@ def main():
             "ms_per_rep": [round(t * 1000, 1) for t in rep_times],
             "n_gaussians": N,
             "n_entries": n_entries,
+            "width": W, "height": H,
             "backend": jax.default_backend(),
         },
     }))
