@@ -35,15 +35,28 @@ permanently degrades all subsequent device ops ~100× on this stack.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from msgs.kernels import scan as pscan
 from msgs.kernels.preprocess import TILE, PreprocessOut
 
 BLOCK = 128  # entries per compositor payload block (TPU lane width)
 SUB = 32     # tile-alignment granularity: entries per compositor sub-block
+
+# The (5, E) delta-scatter prefix sums run in the one-pass Pallas scan
+# kernel (msgs/kernels/scan.py) unless MSGS_XLA_SCAN=1 selects the XLA
+# cumsum cascade (A/B escape hatch).
+_USE_PALLAS_SCAN = os.environ.get("MSGS_XLA_SCAN") != "1"
+
+
+def _pad_ecap(entry_cap: int) -> int:
+    """Entry capacity aligned to the scan kernel's 1024-element tiles
+    (a no-op for the usual power-of-two caps)."""
+    return -(-entry_cap // pscan.TILE_E) * pscan.TILE_E
 
 
 class Binned(NamedTuple):
@@ -64,7 +77,7 @@ def entry_capacity(entry_cap: int, tiles: int) -> int:
     (≤ SUB−1 dummies per tile), rounded to 128 blocks (the compositor's
     per-entry contrib output is column-major (SUB, S_cap) with (SUB, 128)
     VMEM blocks — Mosaic needs a 128-divisible trailing block dim)."""
-    cap = entry_cap + SUB * tiles + BLOCK
+    cap = _pad_ecap(entry_cap) + SUB * tiles + BLOCK
     group = 128 * BLOCK
     return ((cap + group - 1) // group) * group
 
@@ -99,6 +112,7 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     T = tiles_x * tiles_y
     N = pre.depths.shape[0]
     E_cap = entry_capacity(entry_cap, T)
+    entry_cap = _pad_ecap(entry_cap)
     B_cap = E_cap // BLOCK
     pad_cap = E_cap - entry_cap
     db = _depth_bits(T)
@@ -177,12 +191,25 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         jnp.maximum(rect_w, 1).astype(jnp.float32) * (2.0**dqb) + dq_g,
     ], axis=0)                                       # (5, N)
     deltas = jnp.diff(fields, axis=1, prepend=0.0)   # Δ to previous Gaussian
-    starts = jnp.zeros((5, entry_cap + 1), jnp.float32)
-    starts = starts.at[:, offsets].add(deltas, mode="drop")
-    cums = jnp.cumsum(starts[:, :entry_cap], axis=1)  # (5, entry_cap)
+    if _USE_PALLAS_SCAN:
+        # One-pass Pallas scan in the sublane-major permuted layout; all
+        # downstream per-entry math is elementwise and shape-agnostic, so
+        # it runs directly on the (8, E/8) arrays (flattened before the
+        # sort — an unstable sort is order-indifferent).
+        s_idx, l_raw = pscan.perm_positions(offsets)
+        l_idx = jnp.where(offsets < entry_cap, l_raw,
+                          entry_cap // pscan.SUBL)    # OOB → dropped
+        starts = jnp.zeros((5,) + pscan.perm_shape(entry_cap), jnp.float32)
+        starts = starts.at[:, s_idx, l_idx].add(deltas, mode="drop")
+        cums = pscan.cumsum_perm(starts)             # (5, 8, E/8)
+        iota_f = pscan.perm_iota(entry_cap).astype(jnp.float32)
+    else:
+        starts = jnp.zeros((5, entry_cap + 1), jnp.float32)
+        starts = starts.at[:, offsets].add(deltas, mode="drop")
+        cums = jnp.cumsum(starts[:, :entry_cap], axis=1)  # (5, entry_cap)
+        iota_f = jax.lax.iota(jnp.float32, entry_cap)
     gid = (cums[0] - 1.0).astype(jnp.int32)
     off_f, end_f, rm_f, wdq_f = cums[1], cums[2], cums[3], cums[4]
-    iota_f = jax.lax.iota(jnp.float32, entry_cap)
     valid = iota_f < end_f
 
     # Unpack rect fields (exact f32 divisions by powers of two).
@@ -209,8 +236,8 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     key_e = jnp.where(
         valid,
         tile_e * (1 << db) + (dq_e.astype(jnp.int32) << (db - dqb)),
-        NULL_KEY)
-    gid_e = jnp.where(valid, gid, N)
+        NULL_KEY).reshape(entry_cap)
+    gid_e = jnp.where(valid, gid, N).reshape(entry_cap)
 
     # --- dummy stream: n_dummy[t] entries keyed to the end of tile t ---
     d_off = (jnp.cumsum(n_dummy) - n_dummy).astype(jnp.int32)
