@@ -80,11 +80,43 @@ def main():
         )(gid.reshape(E // BLK, BLK), table_p)
 
     try:
-        r_pal = timeit("pallas_vmem_take", pallas_gather, table_p, gid)
+        r_pal = timeit("pallas_vmem_take_sublane", pallas_gather, table_p, gid)
         ok = bool(jnp.all(r_pal[:4096] == r_xla[:4096]))
         print("match:", ok)
     except Exception as e:
-        print("pallas gather failed:", type(e).__name__, str(e)[:300])
+        print("pallas sublane gather failed:", type(e).__name__, str(e)[:300])
+
+    # 2b) transposed table (F, N): minor dim is N (no 128-lane padding —
+    # the (N, F) layout pads F→128 in VMEM, 10.7× waste), gather on lanes.
+    table_t = jnp.asarray(np.asarray(table).T.copy())   # (F, N+1)
+
+    def gather_kernel_t(gid_ref, table_ref, out_ref):
+        idx = gid_ref[pl.program_id(0)]          # (BLK,)
+        out_ref[...] = jnp.take(table_ref[...], idx, axis=1)
+
+    @jax.jit
+    def pallas_gather_t(table_t, gid):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(E // BLK,),
+            in_specs=[pl.BlockSpec((F, N + 1), lambda s, g: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((F, BLK), lambda s, g: (0, s),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            gather_kernel_t,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((F, E), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(gid.reshape(E // BLK, BLK), table_t)
+
+    try:
+        r_t = timeit("pallas_vmem_take_lane", pallas_gather_t, table_t, gid)
+        ok = bool(jnp.all(r_t[:, :4096] == r_xla[:4096].T))
+        print("match:", ok)
+    except Exception as e:
+        print("pallas lane gather failed:", type(e).__name__, str(e)[:300])
 
     # 3) sort+payload carry reference point (what the VJP pays per operand).
     def sortop(k, v):
