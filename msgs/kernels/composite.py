@@ -430,7 +430,28 @@ def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
         nf = sb0 > 0
         compute = sv_ref[sb0] == 1
 
-        @pl.when(compute)
+        # Saturated-tile block skip (the TPU form of the reference kernel's
+        # per-pixel early-out): when every sub continues the carried tile
+        # AND every carried pixel is done (T < T_EPS or off-image), the
+        # whole block provably contributes nothing (alive ≡ 0 ⇒ w ≡ 0) and
+        # leaves the tile state unchanged — exact equivalence, not an
+        # approximation. done values are exactly 0.0/1.0, so the f32 sum
+        # test is exact. Typical scenes saturate tiles within the first
+        # block or two of their (often hundreds-deep) entry list.
+        same_tile = nf
+        for k in range(NSUB):
+            same_tile = jnp.logical_and(same_tile, tids[k] == prev)
+        saturated = jnp.sum(state_ref[O_DONE:O_DONE + 1, :]) >= float(NPIX)
+        skip = jnp.logical_and(same_tile, saturated)
+
+        @pl.when(jnp.logical_and(compute, skip))
+        def _():
+            # State is unchanged; the tile's last sub may live here, so
+            # its slots must still carry the running state.
+            for k in range(NSUB):
+                out_ref[g * NSUB + k] = state_ref[:]
+
+        @pl.when(jnp.logical_and(compute, jnp.logical_not(skip)))
         def _():
             feat = payload_ref[g]                  # (BLOCK, NFEAT)
             ctx = _BlockCtx(feat, tids, prev, nf,
@@ -472,7 +493,17 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
         nf = sb0 > 0
         compute = sv_ref[sb0] == 1
 
-        @pl.when(compute)
+        # Same saturated-tile skip as the forward kernel: alive ≡ 0 ⇒ all
+        # gradients of this block are zero (dpay is pre-zeroed) and the
+        # carried (t, done, wφ-prefix) scratch is unchanged.
+        same_tile = nf
+        for k in range(NSUB):
+            same_tile = jnp.logical_and(same_tile, tids[k] == prev)
+        saturated = jnp.sum(state_ref[1:2, :]) >= float(NPIX)
+        live = jnp.logical_and(
+            compute, jnp.logical_not(jnp.logical_and(same_tile, saturated)))
+
+        @pl.when(live)
         def _():
             feat = payload_ref[g]                  # (BLOCK, NFEAT)
             ctx = _BlockCtx(feat, tids, prev, nf,
