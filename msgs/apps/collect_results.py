@@ -37,6 +37,15 @@ def scrape_run(model_path: str) -> dict:
     if os.path.exists(rpath):
         with open(rpath) as f:
             out["offline"] = json.load(f)
+    # Offline multi-scale evals (msgs.apps.eval_scales) fill in scales the
+    # in-train eval didn't cover; in-train records win on conflicts.
+    evs = sorted(f for f in os.listdir(model_path)
+                 if f.startswith("eval_scales_") and f.endswith(".json"))
+    for f in evs:
+        it = int(f[len("eval_scales_"):-len(".json")])
+        with open(os.path.join(model_path, f)) as fh:
+            for key, m in json.load(fh).items():
+                out.setdefault(key, {**m, "iteration": it})
     return out
 
 
