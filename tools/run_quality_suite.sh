@@ -27,8 +27,10 @@ run() {
   echo "=== $name finished: $(date) ==="
 }
 
+# Order: base first (the control), then the headline full method, then
+# ablations — so a partial window still yields the core base-vs-ms claim.
 run base --ms_test_scales 1 2 4 8 16 32 64
-run abl_ms_train    $MS_COMMON
-run abl_filter_small $MS_COMMON --filter_small
 run ms              $MS_COMMON --filter_small --insert_large
+run abl_filter_small $MS_COMMON --filter_small
+run abl_ms_train    $MS_COMMON
 echo "ALL DONE $(date)"
