@@ -28,7 +28,7 @@ run() {
 }
 
 run base --ms_test_scales 1 2 4 8
-run abl_ms_train     $MS_COMMON
-run abl_filter_small $MS_COMMON --filter_small
 run ms               $MS_COMMON --filter_small --insert_large
+run abl_filter_small $MS_COMMON --filter_small
+run abl_ms_train     $MS_COMMON
 echo "ALL DONE $(date)"
