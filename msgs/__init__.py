@@ -30,3 +30,21 @@ __version__ = "0.1.0"
 import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: training re-jits on every capacity-growth
+# step (fixed-capacity functional state — model/gaussians.py), and over the
+# axon tunnel each compile costs tens of seconds. The cache makes capacity
+# regrowth, supervisor restarts (tools/supervisor.py) and sibling runs of
+# the quality suite pay each distinct shape once per machine.
+import os as _os
+
+try:
+    _cache = _os.environ.get(
+        "MSGS_JAX_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover — cache is best-effort
+    pass

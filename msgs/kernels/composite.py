@@ -73,10 +73,16 @@ from jax.experimental.pallas import tpu as pltpu
 from msgs.kernels.binning import BLOCK, SUB
 from msgs.kernels.preprocess import ALPHA_MAX, ALPHA_MIN, T_EPS, TILE
 
+import os as _os
+
 NPIX = TILE * TILE     # 256 pixels per tile
 NFEAT = 12             # payload feature columns (11 used + pad)
 NOUT = 8               # output channels: r g b depth acc T done pad
-GROUP = 8              # 128-entry payload blocks per grid step
+# A/B knobs (bench bisection over the tunnel — defaults are the shipped
+# config): MSGS_GROUP resizes the per-grid-step block group, MSGS_NO_SKIP=1
+# disables the saturated-tile early-out branch.
+GROUP = int(_os.environ.get("MSGS_GROUP", "8"))  # payload blocks / grid step
+_SKIP_SATURATED = _os.environ.get("MSGS_NO_SKIP") != "1"
 NSUB = BLOCK // SUB    # tile-aligned sub-blocks per payload block
 SPG = GROUP * NSUB     # sub-blocks per grid step
 
@@ -441,15 +447,19 @@ def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
         same_tile = nf
         for k in range(NSUB):
             same_tile = jnp.logical_and(same_tile, tids[k] == prev)
-        saturated = jnp.sum(state_ref[O_DONE:O_DONE + 1, :]) >= float(NPIX)
-        skip = jnp.logical_and(same_tile, saturated)
+        if _SKIP_SATURATED:
+            saturated = (jnp.sum(state_ref[O_DONE:O_DONE + 1, :])
+                         >= float(NPIX))
+            skip = jnp.logical_and(same_tile, saturated)
 
-        @pl.when(jnp.logical_and(compute, skip))
-        def _():
-            # State is unchanged; the tile's last sub may live here, so
-            # its slots must still carry the running state.
-            for k in range(NSUB):
-                out_ref[g * NSUB + k] = state_ref[:]
+            @pl.when(jnp.logical_and(compute, skip))
+            def _():
+                # State is unchanged; the tile's last sub may live here, so
+                # its slots must still carry the running state.
+                for k in range(NSUB):
+                    out_ref[g * NSUB + k] = state_ref[:]
+        else:
+            skip = jnp.full((), False)
 
         @pl.when(jnp.logical_and(compute, jnp.logical_not(skip)))
         def _():
@@ -499,9 +509,13 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
         same_tile = nf
         for k in range(NSUB):
             same_tile = jnp.logical_and(same_tile, tids[k] == prev)
-        saturated = jnp.sum(state_ref[1:2, :]) >= float(NPIX)
-        live = jnp.logical_and(
-            compute, jnp.logical_not(jnp.logical_and(same_tile, saturated)))
+        if _SKIP_SATURATED:
+            saturated = jnp.sum(state_ref[1:2, :]) >= float(NPIX)
+            live = jnp.logical_and(
+                compute,
+                jnp.logical_not(jnp.logical_and(same_tile, saturated)))
+        else:
+            live = compute
 
         @pl.when(live)
         def _():
