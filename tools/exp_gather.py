@@ -55,68 +55,107 @@ def main():
     # 1) XLA row gather (the current pipeline).
     r_xla = timeit("xla_row_gather", lambda t, g: t[g], table, gid)
 
+    # Indices ride as a normal VMEM input block, NOT scalar prefetch: at the
+    # production entry count the full gid array is megabytes — way past SMEM.
+    gid2d = gid.reshape(E // BLK, BLK)
+
     # 2) Pallas: whole table in VMEM, jnp.take along sublanes per block.
+    #    (N, F) lane-pads F→128 in VMEM: ~51 MB at N=100k — near the VMEM
+    #    ceiling, and OOM at training capacities; lane variants below scale.
     def gather_kernel(gid_ref, table_ref, out_ref):
-        idx = gid_ref[pl.program_id(0)]          # (BLK,) int32 from SMEM
-        out_ref[...] = jnp.take(table_ref[...], idx, axis=0)
+        out_ref[...] = jnp.take(table_ref[...], gid_ref[0], axis=0)
 
     TP = table_p.shape[0]
 
     @jax.jit
-    def pallas_gather(table_p, gid):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(E // BLK,),
-            in_specs=[pl.BlockSpec((TP, F), lambda s, g: (0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((BLK, F), lambda s, g: (s, 0),
-                                   memory_space=pltpu.VMEM),
-        )
+    def pallas_gather(table_p, gid2d):
         return pl.pallas_call(
             gather_kernel,
-            grid_spec=grid_spec,
+            grid=(E // BLK,),
+            in_specs=[
+                pl.BlockSpec((1, BLK), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TP, F), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((BLK, F), lambda s: (s, 0),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((E, F), jnp.float32),
             interpret=jax.default_backend() != "tpu",
-        )(gid.reshape(E // BLK, BLK), table_p)
+        )(gid2d, table_p)
 
     try:
-        r_pal = timeit("pallas_vmem_take_sublane", pallas_gather, table_p, gid)
+        r_pal = timeit("pallas_vmem_take_sublane", pallas_gather,
+                       table_p, gid2d)
         ok = bool(jnp.all(r_pal[:4096] == r_xla[:4096]))
         print("match:", ok)
     except Exception as e:
         print("pallas sublane gather failed:", type(e).__name__, str(e)[:300])
 
-    # 2b) transposed table (F, N): minor dim is N (no 128-lane padding —
-    # the (N, F) layout pads F→128 in VMEM, 10.7× waste), gather on lanes.
+    # 2b) transposed table (F, N): minor dim is N (no 128-lane padding),
+    #     gather on lanes → (F, BLK) output.
     table_t = jnp.asarray(np.asarray(table).T.copy())   # (F, N+1)
 
     def gather_kernel_t(gid_ref, table_ref, out_ref):
-        idx = gid_ref[pl.program_id(0)]          # (BLK,)
-        out_ref[...] = jnp.take(table_ref[...], idx, axis=1)
+        out_ref[...] = jnp.take(table_ref[...], gid_ref[0], axis=1)
 
     @jax.jit
-    def pallas_gather_t(table_t, gid):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(E // BLK,),
-            in_specs=[pl.BlockSpec((F, N + 1), lambda s, g: (0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((F, BLK), lambda s, g: (0, s),
-                                   memory_space=pltpu.VMEM),
-        )
+    def pallas_gather_t(table_t, gid2d):
         return pl.pallas_call(
             gather_kernel_t,
-            grid_spec=grid_spec,
+            grid=(E // BLK,),
+            in_specs=[
+                pl.BlockSpec((1, BLK), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((F, N + 1), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((F, BLK), lambda s: (0, s),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((F, E), jnp.float32),
             interpret=jax.default_backend() != "tpu",
-        )(gid.reshape(E // BLK, BLK), table_t)
+        )(gid2d, table_t)
 
     try:
-        r_t = timeit("pallas_vmem_take_lane", pallas_gather_t, table_t, gid)
+        r_t = timeit("pallas_vmem_take_lane", pallas_gather_t, table_t, gid2d)
         ok = bool(jnp.all(r_t[:, :4096] == r_xla[:4096].T))
         print("match:", ok)
     except Exception as e:
         print("pallas lane gather failed:", type(e).__name__, str(e)[:300])
+
+    # 2c) lane gather + in-kernel transpose → entry-major (BLK, F) blocks,
+    #     the layout the compositor actually consumes.
+    def gather_kernel_tt(gid_ref, table_ref, out_ref):
+        out_ref[...] = jnp.take(table_ref[...], gid_ref[0], axis=1).T
+
+    @jax.jit
+    def pallas_gather_tt(table_t, gid2d):
+        return pl.pallas_call(
+            gather_kernel_tt,
+            grid=(E // BLK,),
+            in_specs=[
+                pl.BlockSpec((1, BLK), lambda s: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((F, N + 1), lambda s: (0, 0),
+                             memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((BLK, F), lambda s: (s, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((E, F), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(gid2d, table_t)
+
+    try:
+        r_tt = timeit("pallas_vmem_take_lane_T", pallas_gather_tt,
+                      table_t, gid2d)
+        ok = bool(jnp.all(r_tt[:4096] == r_xla[:4096]))
+        print("match:", ok)
+    except Exception as e:
+        print("pallas lane+T gather failed:", type(e).__name__, str(e)[:300])
+
+    # 2d) lane gather + one XLA transpose outside.
+    try:
+        timeit("pallas_lane_plus_xla_T",
+               lambda t, g: pallas_gather_t(t, g).T, table_t, gid2d)
+    except Exception as e:
+        print("lane+xlaT failed:", type(e).__name__, str(e)[:300])
 
     # 3) sort+payload carry reference point (what the VJP pays per operand).
     def sortop(k, v):
