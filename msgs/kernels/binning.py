@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from msgs.kernels import scan as pscan
-from msgs.kernels.preprocess import TILE, PreprocessOut
+from msgs.kernels.preprocess import ALPHA_MIN, TILE, PreprocessOut
 
 BLOCK = 128  # entries per compositor payload block (TPU lane width)
 SUB = 32     # tile-alignment granularity: entries per compositor sub-block
@@ -51,6 +51,12 @@ SUB = 32     # tile-alignment granularity: entries per compositor sub-block
 # kernel (msgs/kernels/scan.py) unless MSGS_XLA_SCAN=1 selects the XLA
 # cumsum cascade (A/B escape hatch).
 _USE_PALLAS_SCAN = os.environ.get("MSGS_XLA_SCAN") != "1"
+
+# Row-tight emission (MSGS_ROW_TIGHT=1): emit per-tile-row ellipse spans
+# instead of full rects (~π/4 of the entries for isotropic splats, far less
+# for elongated ones). Coverage stays an exact superset of the α ≥ 1/255
+# pixel set, so rendered images are bit-identical; only dead entries drop.
+_ROW_TIGHT = os.environ.get("MSGS_ROW_TIGHT") == "1"
 
 
 def _pad_ecap(entry_cap: int) -> int:
@@ -105,8 +111,40 @@ def _marker_cumsum(offsets, counts, length: int):
     return (jnp.cumsum(markers) - 1.0).astype(jnp.int32)
 
 
+def _delta_scan(fields, positions, entry_cap: int):
+    """Per-slot constants from per-segment deltas: scatter Δfields at the
+    (monotone) segment start `positions`, then ONE batched inclusive prefix
+    sum. Segments with empty slot ranges share their successor's position —
+    their deltas telescope. Returns (cums (K, …), iota_f) in the scan's
+    layout (permuted sublane-major for the Pallas scan); downstream decode
+    is elementwise, so callers just `.reshape(entry_cap)` at the end."""
+    K = fields.shape[0]
+    deltas = jnp.diff(fields, axis=1, prepend=0.0)
+    if _USE_PALLAS_SCAN:
+        s_idx, l_raw = pscan.perm_positions(positions)
+        l_idx = jnp.where(positions < entry_cap, l_raw,
+                          entry_cap // pscan.SUBL)    # OOB → dropped
+        starts = jnp.zeros((K,) + pscan.perm_shape(entry_cap), jnp.float32)
+        starts = starts.at[:, s_idx, l_idx].add(deltas, mode="drop")
+        cums = pscan.cumsum_perm(starts)              # (K, 8, E/8)
+        iota_f = pscan.perm_iota(entry_cap).astype(jnp.float32)
+    else:
+        starts = jnp.zeros((K, entry_cap + 1), jnp.float32)
+        starts = starts.at[:, positions].add(deltas, mode="drop")
+        cums = jnp.cumsum(starts[:, :entry_cap], axis=1)  # (K, entry_cap)
+        iota_f = jax.lax.iota(jnp.float32, entry_cap)
+    return cums, iota_f
+
+
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                   entry_cap: int) -> Binned:
+    if _ROW_TIGHT:
+        return _bin_gaussians_rowtight(pre, width, height, entry_cap)
+    return _bin_gaussians_rect(pre, width, height, entry_cap)
+
+
+def _bin_gaussians_rect(pre: PreprocessOut, width: int, height: int,
+                        entry_cap: int) -> Binned:
     tiles_x = (width + TILE - 1) // TILE
     tiles_y = (height + TILE - 1) // TILE
     T = tiles_x * tiles_y
@@ -143,10 +181,6 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                 .at[y1, x1].add(1.0, mode="drop"))
     cover = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:tiles_y, :tiles_x]
     tcounts = cover.reshape(T)                       # (T,) f32, exact ints
-    padded = jnp.ceil(tcounts / SUB) * SUB
-    n_dummy = (padded - tcounts).astype(jnp.int32)   # (T,) in [0, SUB)
-    padded_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
-    total_padded = (padded_start[-1] + padded[-1].astype(jnp.int32))
 
     # --- emission stream: gid, tile, quantized depth, fused key ---
     # Every per-entry field is integer-valued and constant over a Gaussian's
@@ -190,24 +224,7 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
          ).astype(jnp.float32),
         jnp.maximum(rect_w, 1).astype(jnp.float32) * (2.0**dqb) + dq_g,
     ], axis=0)                                       # (5, N)
-    deltas = jnp.diff(fields, axis=1, prepend=0.0)   # Δ to previous Gaussian
-    if _USE_PALLAS_SCAN:
-        # One-pass Pallas scan in the sublane-major permuted layout; all
-        # downstream per-entry math is elementwise and shape-agnostic, so
-        # it runs directly on the (8, E/8) arrays (flattened before the
-        # sort — an unstable sort is order-indifferent).
-        s_idx, l_raw = pscan.perm_positions(offsets)
-        l_idx = jnp.where(offsets < entry_cap, l_raw,
-                          entry_cap // pscan.SUBL)    # OOB → dropped
-        starts = jnp.zeros((5,) + pscan.perm_shape(entry_cap), jnp.float32)
-        starts = starts.at[:, s_idx, l_idx].add(deltas, mode="drop")
-        cums = pscan.cumsum_perm(starts)             # (5, 8, E/8)
-        iota_f = pscan.perm_iota(entry_cap).astype(jnp.float32)
-    else:
-        starts = jnp.zeros((5, entry_cap + 1), jnp.float32)
-        starts = starts.at[:, offsets].add(deltas, mode="drop")
-        cums = jnp.cumsum(starts[:, :entry_cap], axis=1)  # (5, entry_cap)
-        iota_f = jax.lax.iota(jnp.float32, entry_cap)
+    cums, iota_f = _delta_scan(fields, offsets, entry_cap)
     gid = (cums[0] - 1.0).astype(jnp.int32)
     off_f, end_f, rm_f, wdq_f = cums[1], cums[2], cums[3], cums[4]
     valid = iota_f < end_f
@@ -239,6 +256,202 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         NULL_KEY).reshape(entry_cap)
     gid_e = jnp.where(valid, gid, N).reshape(entry_cap)
 
+    gid_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(kept).astype(jnp.int32)])
+    return _finalize(key_e, gid_e, tcounts, total, overflow, gid_starts,
+                     T, E_cap, pad_cap, db, N)
+
+
+def seg_capacity(entry_cap: int) -> int:
+    """Static row-segment capacity for the row-tight path. Segments are one
+    per (Gaussian, touched tile-row); every nonempty row emits ≥1 entry, so
+    segments ≤ entries, but entry truncation happens per whole Gaussian —
+    half the entry budget of headroom covers every realistic rect shape."""
+    return max(_pad_ecap(entry_cap) // 2, 16384)
+
+
+def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
+                            entry_cap: int) -> Binned:
+    """Row-tight emission: per (Gaussian, tile-row) ellipse x-spans.
+
+    The full-rect binner covers the ellipse's bbox; its corners are pure
+    padding (the α ≥ 1/255 mask kills them in the compositor at full pair
+    cost). Here every Gaussian is first expanded into ROW SEGMENTS — one per
+    touched 16-px tile row — and each segment computes the exact x-extent of
+    the ellipse dᵀΣ⁻¹d ≤ k² over its row band:
+
+        dx(dy) = (−b·dy ± √(a·k² − det·dy²)) / a,  det = ac − b²,
+
+    whose + branch is concave in dy (− branch convex), so the extreme over
+    the band is the closed-form critical point dy* = ∓b·√(k²/(det·c))
+    clamped into band ∩ [−ymax, ymax] (ymax = √(k²·a/det), the ellipse's
+    y-extent). Coverage therefore stays an exact superset of the surviving
+    pixel set — rendered images are bit-identical to the rect path; only
+    dead (entry × pixel) pairs disappear (~π/4 of the entries for isotropic
+    splats, far less for elongated diagonals).
+
+    Structure: segments are materialized by a marker cumsum + ONE row gather
+    from the small per-Gaussian table (N-table row gathers are fast; the
+    stream stays gid-major so per-Gaussian entry ranges remain contiguous
+    for the VJP's gid_starts), then entries reuse the same 5-field
+    delta-scatter + batched-prefix machinery as the rect path — with a
+    simpler decode: no division at all (col = slot − seg_off; tile =
+    txbase + col). Reference contract unchanged (SURVEY §2.3 step 2)."""
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    T = tiles_x * tiles_y
+    N = pre.depths.shape[0]
+    E_cap = entry_capacity(entry_cap, T)
+    entry_cap = _pad_ecap(entry_cap)
+    pad_cap = E_cap - entry_cap
+    db = _depth_bits(T)
+    NULL_KEY = jnp.int32(2**31 - 1)
+    R = seg_capacity(entry_cap)
+
+    # --- level A: one segment per (Gaussian, touched tile row) ---
+    rect_h = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 0)
+    n_rows_raw = jnp.where(pre.visible, rect_h, 0).astype(jnp.int32)
+    s_off = jnp.cumsum(n_rows_raw) - n_rows_raw
+    total_rows = s_off[-1] + n_rows_raw[-1]
+    seg_overflow = jnp.maximum(total_rows - R, 0)
+    kept_seg_g = s_off + n_rows_raw <= R            # prefix-closed
+    n_rows = n_rows_raw * kept_seg_g
+    total_kept_rows = jnp.sum(n_rows)
+
+    gid_seg = _marker_cumsum(s_off, n_rows, R)      # (R,) slot → Gaussian
+    valid_seg = jnp.arange(R, dtype=jnp.int32) < total_kept_rows
+
+    # Per-Gaussian constants, ONE row gather into the segment stream.
+    op = jnp.maximum(pre.opacities, 1e-12)
+    k2 = 2.0 * jnp.log(op / ALPHA_MIN)              # ellipse level set
+    dqb = min(db, 23)
+    dmin = jnp.min(jnp.where(pre.visible, pre.depths, jnp.inf))
+    dmax = jnp.max(jnp.where(pre.visible, pre.depths, -jnp.inf))
+    dspan = jnp.maximum(dmax - dmin, 1e-9)
+    dq_g = jnp.floor(jnp.clip((pre.depths - dmin) / dspan * (2.0**dqb - 2.0),
+                              0.0, 2.0**dqb - 2.0))
+    gtab = jnp.stack([
+        pre.means2d[:, 0], pre.means2d[:, 1],
+        pre.conics[:, 0], pre.conics[:, 1], pre.conics[:, 2],
+        k2,
+        pre.rect_min[:, 0].astype(jnp.float32),
+        pre.rect_max[:, 0].astype(jnp.float32),
+        pre.rect_min[:, 1].astype(jnp.float32),
+        dq_g,
+        s_off.astype(jnp.float32),
+        jnp.zeros((N,), jnp.float32)], axis=1)      # (N, 12)
+    # Culled rows may carry non-finite projection values; they own no
+    # segments, but a NaN reaching any delta-scatter field would poison the
+    # whole telescoping prefix — zero them structurally.
+    gtab = jnp.where(pre.visible[:, None], gtab, 0.0)
+    gtab = gtab.at[:, 10].set(s_off.astype(jnp.float32))
+    sg = gtab[jnp.clip(gid_seg, 0, N - 1)]          # (R, 12) row gather
+    mx, my = sg[:, 0], sg[:, 1]
+    a, b, c = sg[:, 2], sg[:, 3], sg[:, 4]
+    k2s = sg[:, 5]
+    rminx, rmaxx, rminy = sg[:, 6], sg[:, 7], sg[:, 8]
+    dq_s, s_off_s = sg[:, 9], sg[:, 10]
+
+    q = jnp.arange(R, dtype=jnp.float32) - s_off_s  # row index in the rect
+    ty = rminy + q                                  # tile row
+    dy0 = ty * TILE - my                            # band [dy0, dy1]
+    dy1 = dy0 + (TILE - 1)
+
+    det = a * c - b * b
+    degen = det <= 1e-12
+    det_s = jnp.maximum(det, 1e-12)
+    k2p = jnp.maximum(k2s, 0.0)
+    ymax = jnp.sqrt(k2p * jnp.maximum(a, 0.0) / det_s)   # ellipse y-extent
+    lo_b = jnp.maximum(dy0, -ymax)
+    hi_b = jnp.minimum(dy1, ymax)
+    dystar = -b * jnp.sqrt(k2p / (det_s * jnp.maximum(c, 1e-12)))
+    a_s = jnp.maximum(a, 1e-12)
+
+    def _span(dyc):
+        s2 = jnp.maximum(a * k2p - det_s * dyc * dyc, 0.0)
+        return -b * dyc / a_s, jnp.sqrt(s2) / a_s
+
+    lin_hi, rad_hi = _span(jnp.clip(dystar, lo_b, hi_b))
+    lin_lo, rad_lo = _span(jnp.clip(-dystar, lo_b, hi_b))
+    MARGIN = 1e-2                                   # f32-roundoff guard
+    dxhi = lin_hi + rad_hi + MARGIN
+    dxlo = lin_lo - rad_lo - MARGIN
+
+    row_live = valid_seg & (hi_b >= lo_b) & ~degen
+    txlo = jnp.clip(jnp.floor((mx + dxlo) / TILE), rminx, rmaxx - 1.0)
+    txhi = jnp.clip(jnp.floor((mx + dxhi) / TILE), rminx, rmaxx - 1.0)
+    # Degenerate conics (never produced by preprocess's dilated covariance,
+    # but guarded) fall back to the full rect row.
+    txlo = jnp.where(degen & valid_seg, rminx, txlo)
+    txhi = jnp.where(degen & valid_seg, rmaxx - 1.0, txhi)
+    use_row = valid_seg & (row_live | (degen & valid_seg))
+    w_seg = jnp.where(use_row, txhi - txlo + 1.0, 0.0)
+    w_seg = jnp.maximum(w_seg, 0.0)
+
+    # --- entry offsets (gid-major, contiguous per Gaussian) ---
+    c_incl = jnp.cumsum(w_seg)                      # (R,) f32, exact ints
+    e_off = (c_incl - w_seg)
+    total_e = c_incl[-1].astype(jnp.int32)
+    overflow = jnp.maximum(jnp.maximum(total_e - entry_cap, 0), seg_overflow)
+
+    # Whole-Gaussian truncation at the entry level (prefix-closed, like the
+    # rect path): per-Gaussian entry ranges from the segment prefix.
+    g_first = jnp.clip(s_off, 0, R - 1)
+    g_last = jnp.clip(s_off + n_rows_raw - 1, 0, R - 1)
+    base_g = e_off[g_first]
+    tot_g = jnp.where(n_rows > 0, c_incl[g_last] - base_g, 0.0)
+    kept_g = kept_seg_g & (base_g + tot_g <= float(entry_cap)) & (n_rows > 0)
+    tot_kept_g = jnp.where(kept_g, tot_g, 0.0)
+    w_eff = w_seg * kept_g[jnp.clip(gid_seg, 0, N - 1)]
+    end_seg = e_off + w_eff
+
+    # --- per-tile entry counts: per-segment x-interval difference sums ---
+    ty_i = jnp.where(w_eff > 0, ty, float(tiles_y + 0.0)).astype(jnp.int32)
+    txlo_i = txlo.astype(jnp.int32)
+    txhi_i = txhi.astype(jnp.int32)
+    diffx = jnp.zeros((tiles_y + 1, tiles_x + 1), jnp.float32)
+    diffx = (diffx.at[ty_i, txlo_i].add(1.0, mode="drop")
+                  .at[ty_i, txhi_i + 1].add(-1.0, mode="drop"))
+    tcounts = jnp.cumsum(diffx, axis=1)[:tiles_y, :tiles_x].reshape(T)
+
+    # --- entry stream: same 5-field delta-scatter, division-free decode ---
+    txbase = ty * tiles_x + txlo                    # tile id of col 0 (< T)
+    fields = jnp.stack([
+        (gid_seg + 1).astype(jnp.float32),
+        e_off,
+        end_seg,
+        txbase,
+        dq_s], axis=0)                              # (5, R)
+    positions = jnp.minimum(e_off.astype(jnp.int32), entry_cap)
+    cums, iota_f = _delta_scan(fields, positions, entry_cap)
+    gid = (cums[0] - 1.0).astype(jnp.int32)
+    off_f, end_f, txb_f, dq_e = cums[1], cums[2], cums[3], cums[4]
+    valid = iota_f < end_f
+    tile_e = (txb_f + (iota_f - off_f)).astype(jnp.int32)
+    key_e = jnp.where(
+        valid,
+        tile_e * (1 << db) + (dq_e.astype(jnp.int32) << (db - dqb)),
+        NULL_KEY).reshape(entry_cap)
+    gid_e = jnp.where(valid, gid, N).reshape(entry_cap)
+
+    gid_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(tot_kept_g).astype(jnp.int32)])
+    return _finalize(key_e, gid_e, tcounts, total_e, overflow, gid_starts,
+                     T, E_cap, pad_cap, db, N)
+
+
+def _finalize(key_e, gid_e, tcounts, total, overflow, gid_starts,
+              T: int, E_cap: int, pad_cap: int, db: int, N: int) -> Binned:
+    """Shared binning tail: pre-sort per-tile dummy padding, the one fused-
+    key sort, and the sub-block structure read off the sorted keys."""
+    NULL_KEY = jnp.int32(2**31 - 1)
+    dq_max = jnp.int32((1 << db) - 1)
+    padded = jnp.ceil(tcounts / SUB) * SUB
+    n_dummy = (padded - tcounts).astype(jnp.int32)   # (T,) in [0, SUB)
+    padded_start = (jnp.cumsum(padded) - padded).astype(jnp.int32)
+    total_padded = (padded_start[-1] + padded[-1].astype(jnp.int32))
+
     # --- dummy stream: n_dummy[t] entries keyed to the end of tile t ---
     d_off = (jnp.cumsum(n_dummy) - n_dummy).astype(jnp.int32)
     total_d = d_off[-1] + n_dummy[-1]
@@ -263,9 +476,6 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     last_tile = jnp.clip(raw_tile[last_idx], 0, T - 1)
     sub_tile = jnp.where(sub_valid == 1, jnp.clip(raw_tile, 0, T - 1),
                          last_tile).astype(jnp.int32)
-
-    gid_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(kept).astype(jnp.int32)])
 
     # The tile's final compositing state lives in its last sub-block's slot
     # of the kernel's state dump (empty tiles are masked downstream).
