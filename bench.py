@@ -83,8 +83,13 @@ def main():
     opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
     cols = rng.uniform(0, 1, (N, 3)).astype(np.float32)
     cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.8, W, H)
+    # MSGS_BENCH_ROW_TIGHT A/Bs the binning emission path from the harness
+    # (the kernels themselves read no env vars; this only picks the setting).
+    rt_env = os.environ.get("MSGS_BENCH_ROW_TIGHT")
     settings = RasterSettings(backend="pallas", entry_cap=ENTRY_CAP,
-                              image_grads_only=True)
+                              image_grads_only=True,
+                              row_tight=None if rt_env is None
+                              else rt_env == "1")
 
     args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(opac), jnp.asarray(cols))

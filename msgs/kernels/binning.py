@@ -52,11 +52,13 @@ SUB = 32     # tile-alignment granularity: entries per compositor sub-block
 # cumsum cascade (A/B escape hatch).
 _USE_PALLAS_SCAN = os.environ.get("MSGS_XLA_SCAN") != "1"
 
-# Row-tight emission (MSGS_ROW_TIGHT=1): emit per-tile-row ellipse spans
-# instead of full rects (~π/4 of the entries for isotropic splats, far less
-# for elongated ones). Coverage stays an exact superset of the α ≥ 1/255
-# pixel set, so rendered images are bit-identical; only dead entries drop.
-_ROW_TIGHT = os.environ.get("MSGS_ROW_TIGHT") == "1"
+# Row-tight emission default: emit per-tile-row ellipse spans instead of
+# full rects (~π/4 of the entries for isotropic splats, far less for
+# elongated ones). Coverage is a margin-guarded superset of the α ≥ 1/255
+# pixel set (see _bin_gaussians_rowtight), so rendered images match the
+# rect path; only dead entries drop. `bin_gaussians(..., row_tight=...)`
+# dispatches per call so both paths stay testable in-process.
+ROW_TIGHT_DEFAULT = False
 
 
 def _pad_ecap(entry_cap: int) -> int:
@@ -137,8 +139,10 @@ def _delta_scan(fields, positions, entry_cap: int):
 
 
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
-                  entry_cap: int) -> Binned:
-    if _ROW_TIGHT:
+                  entry_cap: int, row_tight: bool = None) -> Binned:
+    if row_tight is None:
+        row_tight = ROW_TIGHT_DEFAULT
+    if row_tight:
         return _bin_gaussians_rowtight(pre, width, height, entry_cap)
     return _bin_gaussians_rect(pre, width, height, entry_cap)
 
@@ -249,7 +253,6 @@ def _bin_gaussians_rect(pre: PreprocessOut, width: int, height: int,
     ty_f = rmin_y_f + q
     tile_e = (ty_f * tiles_x + tx_f).astype(jnp.int32)
 
-    dq_max = jnp.int32((1 << db) - 1)
     key_e = jnp.where(
         valid,
         tile_e * (1 << db) + (dq_e.astype(jnp.int32) << (db - dqb)),
@@ -285,10 +288,17 @@ def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
     whose + branch is concave in dy (− branch convex), so the extreme over
     the band is the closed-form critical point dy* = ∓b·√(k²/(det·c))
     clamped into band ∩ [−ymax, ymax] (ymax = √(k²·a/det), the ellipse's
-    y-extent). Coverage therefore stays an exact superset of the surviving
-    pixel set — rendered images are bit-identical to the rect path; only
-    dead (entry × pixel) pairs disappear (~π/4 of the entries for isotropic
-    splats, far less for elongated diagonals).
+    y-extent). Coverage is a *margin-guarded superset* of the surviving
+    pixel set: the level set is inflated to k²·(1+1e-4)+1e-3 (covering the
+    compositor's own f32 error in evaluating `power`, ~eps·κ(conic)·k²,
+    and the radicand's cancellation near tangent rows, ~8·eps·a·k² — both
+    orders of magnitude below the inflation), plus a magnitude-scaled
+    pixel-space margin for the division/center roundoff. Rendered images
+    therefore match the rect path (extra entries fail the α test and
+    compose as exact no-ops); only dead (entry × pixel) pairs disappear
+    (~π/4 of the entries for isotropic splats, far less for elongated
+    diagonals). Verified by tests/test_binning_rowtight.py: randomized
+    rect-vs-row-tight image parity + brute-force coverage superset.
 
     Structure: segments are materialized by a marker cumsum + ONE row gather
     from the small per-Gaussian table (N-table row gathers are fast; the
@@ -323,7 +333,10 @@ def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
 
     # Per-Gaussian constants, ONE row gather into the segment stream.
     op = jnp.maximum(pre.opacities, 1e-12)
-    k2 = 2.0 * jnp.log(op / ALPHA_MIN)              # ellipse level set
+    # Inflated level set: covers the compositor's f32 `power` evaluation
+    # error AND this path's radicand cancellation (ADVICE r2: a fixed 1e-2px
+    # margin alone is not sound near tangent rows for large faint splats).
+    k2 = 2.0 * jnp.log(op / ALPHA_MIN) * (1.0 + 1e-4) + 1e-3
     dqb = min(db, 23)
     dmin = jnp.min(jnp.where(pre.visible, pre.depths, jnp.inf))
     dmax = jnp.max(jnp.where(pre.visible, pre.depths, -jnp.inf))
@@ -373,9 +386,12 @@ def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
 
     lin_hi, rad_hi = _span(jnp.clip(dystar, lo_b, hi_b))
     lin_lo, rad_lo = _span(jnp.clip(-dystar, lo_b, hi_b))
-    MARGIN = 1e-2                                   # f32-roundoff guard
-    dxhi = lin_hi + rad_hi + MARGIN
-    dxlo = lin_lo - rad_lo - MARGIN
+    # Pixel-space roundoff guard, scaled with the span magnitude (the
+    # division by a and the mx re-centering each cost ~eps·|dx|).
+    m_hi = 1e-2 + 4e-6 * (jnp.abs(lin_hi) + rad_hi)
+    m_lo = 1e-2 + 4e-6 * (jnp.abs(lin_lo) + rad_lo)
+    dxhi = lin_hi + rad_hi + m_hi
+    dxlo = lin_lo - rad_lo - m_lo
 
     row_live = valid_seg & (hi_b >= lo_b) & ~degen
     txlo = jnp.clip(jnp.floor((mx + dxlo) / TILE), rminx, rmaxx - 1.0)
@@ -389,10 +405,21 @@ def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
     w_seg = jnp.maximum(w_seg, 0.0)
 
     # --- entry offsets (gid-major, contiguous per Gaussian) ---
-    c_incl = jnp.cumsum(w_seg)                      # (R,) f32, exact ints
-    e_off = (c_incl - w_seg)
-    total_e = c_incl[-1].astype(jnp.int32)
-    overflow = jnp.maximum(jnp.maximum(total_e - entry_cap, 0), seg_overflow)
+    # Exact int32 cumsum (f32 cumsum goes inexact past 2^24 raw entries —
+    # ADVICE r2); f32 views of the offsets are used only where the consumed
+    # values are ≤ entry_cap (< 2^24, exact) or in order-preserving
+    # comparisons against entry_cap (rounding of large ints can't cross it).
+    w_i = w_seg.astype(jnp.int32)
+    c_incl_i = jnp.cumsum(w_i)                      # (R,) int32, exact
+    e_off_i = c_incl_i - w_i
+    c_incl = c_incl_i.astype(jnp.float32)
+    e_off = e_off_i.astype(jnp.float32)
+    total_e = c_incl_i[-1]
+    # Overflow in ENTRY units: dropped tile-rows are estimated at 2 entries
+    # each (they mix units otherwise — rows vs entries; overestimating only
+    # makes the host's capacity growth converge faster).
+    overflow = jnp.maximum(jnp.maximum(total_e - entry_cap, 0),
+                           2 * seg_overflow)
 
     # Whole-Gaussian truncation at the entry level (prefix-closed, like the
     # rect path): per-Gaussian entry ranges from the segment prefix.
@@ -422,7 +449,7 @@ def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
         end_seg,
         txbase,
         dq_s], axis=0)                              # (5, R)
-    positions = jnp.minimum(e_off.astype(jnp.int32), entry_cap)
+    positions = jnp.minimum(e_off_i, entry_cap)
     cums, iota_f = _delta_scan(fields, positions, entry_cap)
     gid = (cums[0] - 1.0).astype(jnp.int32)
     off_f, end_f, txb_f, dq_e = cums[1], cums[2], cums[3], cums[4]

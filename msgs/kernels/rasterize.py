@@ -42,6 +42,9 @@ class RasterSettings(NamedTuple):
     # (2 fewer sort operands, fewer kernel passes). Leave False to
     # differentiate every output.
     image_grads_only: bool = False
+    # Row-tight binning (per-tile-row ellipse spans) vs full-rect emission;
+    # see binning._bin_gaussians_rowtight. None → binning.ROW_TIGHT_DEFAULT.
+    row_tight: bool = None
 
 
 class RenderOutput(NamedTuple):
@@ -193,7 +196,7 @@ def composite_pipeline(pre, width: int, height: int,
 
     binned = bin_gaussians(
         jax.tree_util.tree_map(jax.lax.stop_gradient, pre),
-        width, height, settings.entry_cap)
+        width, height, settings.entry_cap, row_tight=settings.row_tight)
 
     # One stack + pad row (not a chain of column scatters). Column order is
     # the comp.F_* layout; no VALID column — the sentinel row's opacity 0
