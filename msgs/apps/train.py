@@ -75,6 +75,16 @@ def build_parser():
     p.add_argument("--profile_steps", type=str, default=None,
                    help="START:END iteration range to capture a jax.profiler "
                         "trace into <model_path>/profile/")
+    p.add_argument("--mesh", nargs=2, type=int, default=None,
+                   metavar=("GAUSS", "TILE"),
+                   help="train sharded over a GAUSS x TILE device mesh "
+                        "(params/Adam gauss-sharded, image row stripes over "
+                        "both axes, bounded all-to-all splat exchange; "
+                        "msgs/dist/shard.py). Structural ops gather -> "
+                        "mutate -> reshard at their cold cadence.")
+    p.add_argument("--packet_cap", type=int, default=0,
+                   help="per-(source,stripe) splat packet rows for the "
+                        "sharded exchange; 0 = auto, grows on overflow")
     p.add_argument("--multihost", action="store_true",
                    help="initialize jax.distributed (DCN) before touching "
                         "devices; config via JAX_COORDINATOR_ADDRESS / "
@@ -105,6 +115,7 @@ def training(args):
                                       one_up_sh_degree)
     from msgs.ms.schedule import MsSchedule, loss_weight
     from msgs.train import loop as L
+    from msgs.train import checkpoint as CK
     from msgs.train.checkpoint import (load_train_state, save_ply_snapshot,
                                        save_train_state)
 
@@ -196,6 +207,55 @@ def training(args):
         print(f"Resumed from {args.start_checkpoint} at {first_iter} "
               f"(capacity {actual_cap})")
 
+    # --- sharded training over a 2-D device mesh (--mesh G T) ---
+    # Hot path: the sharded train step (dist/shard.py). Cold paths
+    # (structural ops, eval, saves) gather the state to host, run the
+    # single-device code unchanged, and reshard — faithful at their
+    # every-100-iters cadence (BASELINE config 5).
+    mesh = None
+    packet_cap = args.packet_cap
+    if args.mesh:
+        from msgs.dist import shard as S
+        from msgs.dist.mesh import GAUSS_AXIS, TILE_AXIS, make_mesh
+        from jax.sharding import NamedSharding, PartitionSpec as MP
+        n_gauss, n_tile = args.mesh
+        ndev = len(jax.devices())
+        assert n_gauss * n_tile <= ndev, \
+            f"--mesh {n_gauss}x{n_tile} needs {n_gauss * n_tile} devices, " \
+            f"have {ndev}"
+        assert cfg.capacity % n_gauss == 0, \
+            f"capacity {cfg.capacity} not divisible by gauss axis {n_gauss}"
+        mesh = make_mesh(n_gauss=n_gauss, n_tile=n_tile,
+                         devices=jax.devices()[:n_gauss * n_tile])
+        gt_shard = NamedSharding(mesh, MP((GAUSS_AXIS, TILE_AXIS)))
+        state = S.shard_train_state(state, mesh, cfg.capacity)
+        print(f"mesh: {dict(mesh.shape)} over {n_gauss * n_tile} devices")
+
+        sharded_steps = {}
+
+        def get_sharded_step(lvl, height, width):
+            key = (lvl, height, width, settings, cfg.capacity, packet_cap)
+            if key not in sharded_steps:
+                sharded_steps[key] = S.build_sharded_train_step(
+                    mesh, cfg, op, settings, height, width,
+                    spatial_lr_scale=spatial_lr, reso_lvl=lvl,
+                    loss_mult=loss_weight(lvl) if args.ms_train else 1.0,
+                    lambda_dssim=op.lambda_dssim, fade_size=args.fade_size,
+                    packet_cap=packet_cap)
+            return sharded_steps[key]
+
+    def unshard(s):
+        if mesh is None:
+            return s
+        from msgs.dist import shard as S
+        return S.fetch_train_state(s)
+
+    def reshard(s):
+        if mesh is None:
+            return s
+        from msgs.dist import shard as S
+        return S.shard_train_state(s, mesh, cfg.capacity)
+
     key = jax.random.PRNGKey(args.seed)
     bg = jnp.ones((3,)) if args.white_background else jnp.zeros((3,))
 
@@ -209,7 +269,14 @@ def training(args):
     def gt_on_device(view, scale):
         k = (view.uid, scale)
         if k not in gt_cache:
-            gt_cache[k] = jax.device_put(view.image(scale))
+            if mesh is not None:
+                from msgs.dist import shard as S
+                img = jnp.asarray(view.image(scale))
+                n_stripes = args.mesh[0] * args.mesh[1]
+                img = S.pad_gt(img, S.padded_height(img.shape[0], n_stripes))
+                gt_cache[k] = jax.device_put(img, gt_shard)
+            else:
+                gt_cache[k] = jax.device_put(view.image(scale))
         return gt_cache[k]
 
     viewpoint_stack = []
@@ -219,29 +286,11 @@ def training(args):
     spatial_lr = float(extent)
     t_start = time.time()
     pending_overflow = []   # the window's overflow scalars (async check)
+    pending_exch_overflow = []  # packet-exchange overflow (mesh mode)
 
     def grow_capacity(state, new_cap):
-        import jax.tree_util as jtu
-        old_cap = cfg.capacity
-        print(f"[capacity] growing {old_cap} -> {new_cap}")
-
-        def pad(x):
-            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == old_cap:
-                pad_width = [(0, new_cap - old_cap)] + \
-                    [(0, 0)] * (x.ndim - 1)
-                return jnp.pad(x, pad_width)
-            return x
-        state = jtu.tree_map(pad, state)
-        # New rows are live=False and overwritten on allocation, but keep the
-        # pads self-consistent anyway: pixel-size stats use −1 as the
-        # "uninitialized" sentinel and quaternions must stay normalizable.
-        g = state.gaussians
-        g = g._replace(
-            max_pixel_sizes=g.max_pixel_sizes.at[old_cap:].set(-1.0),
-            min_pixel_sizes=g.min_pixel_sizes.at[old_cap:].set(-1.0),
-            rotation=g.rotation.at[old_cap:, 0].set(1.0),
-        )
-        return state._replace(gaussians=g)
+        print(f"[capacity] growing {cfg.capacity} -> {new_cap}")
+        return CK.grow_capacity(state, new_cap)
 
     def gui_render(cam, scale_mod):
         out = L.eval_render(state, cam, cfg=cfg, settings=settings, bg=bg)
@@ -291,25 +340,49 @@ def training(args):
         do_bm = (args.preserve_large and iteration > op.densify_until_iter
                  and cur_lvl == sched.reso_lvls - 1)
 
-        state, metrics = L.train_step(
-            state, cam, gt,
-            cfg=cfg, op=op, settings=settings, reso_lvl=cur_lvl,
-            spatial_lr_scale=spatial_lr, lambda_dssim=op.lambda_dssim,
-            loss_mult=loss_weight(cur_lvl) if args.ms_train else 1.0,
-            fade_size=args.fade_size,
-            do_px_update=do_px, do_densify_stats=do_ds, do_base_mask=do_bm,
-            ms_lr_active=(iteration >= args.ms_from_iter
-                          and (args.multi_occ or args.multi_dc)))
-        pending_overflow.append(metrics["overflow"])
+        ms_lr = (iteration >= args.ms_from_iter
+                 and (args.multi_occ or args.multi_dc))
+        if mesh is not None:
+            step_fn = get_sharded_step(cur_lvl, cam.height, cam.width)
+            state, metrics = step_fn(state, cam, gt, do_px, do_ds, do_bm,
+                                     ms_lr)
+            pending_overflow.append(metrics["overflow"])
+            pending_exch_overflow.append(metrics["exch_overflow"])
+        else:
+            state, metrics = L.train_step(
+                state, cam, gt,
+                cfg=cfg, op=op, settings=settings, reso_lvl=cur_lvl,
+                spatial_lr_scale=spatial_lr, lambda_dssim=op.lambda_dssim,
+                loss_mult=loss_weight(cur_lvl) if args.ms_train else 1.0,
+                fade_size=args.fade_size,
+                do_px_update=do_px, do_densify_stats=do_ds,
+                do_base_mask=do_bm, ms_lr_active=ms_lr)
+            pending_overflow.append(metrics["overflow"])
 
         # Eval / save BEFORE structural ops — the reference runs
         # training_report and scene.save ahead of densify/opacity-reset
         # (train.py:230-236 vs 247-264), so snapshots never capture a
         # just-reset model.
+        eval_due = iteration in args.test_iterations or (
+            args.test_interval > 0 and iteration % args.test_interval == 0)
+        densify_due = (
+            iteration < op.densify_until_iter
+            and ((iteration > op.densify_from_iter
+                  and sched.reso_iterations[cur_lvl]
+                  % op.densification_interval == 0)
+                 or iteration % op.opacity_reset_interval == 0
+                 or (args.white_background
+                     and iteration == op.densify_from_iter)))
+        insert_due = (args.insert_large
+                      and sched.insert_target_for(iteration) is not None)
+        host_ops_due = (eval_due or densify_due or insert_due
+                        or iteration in args.save_iterations
+                        or iteration in args.checkpoint_iterations)
+        if mesh is not None and host_ops_due:
+            state = unshard(state)   # cold path: gather → mutate → reshard
+
         # Eval (training_report analog, train.py:446-551).
-        if iteration in args.test_iterations or (
-                args.test_interval > 0
-                and iteration % args.test_interval == 0):
+        if eval_due:
             report = evaluate_scales(state, scene, sched, cfg, settings,
                                      args, bg, iteration)
             log_f.write(json.dumps({"it": iteration, "eval": report}) + "\n")
@@ -360,6 +433,9 @@ def training(args):
             state = run_insert_episode(
                 state, scene, sched, target, cfg, settings, extent, args)
 
+        if mesh is not None and host_ops_due:
+            state = reshard(state)
+
         # Host-side housekeeping every 10 iters. This includes the entry-cap
         # overflow check: reading any device scalar blocks on the in-flight
         # step (a full link round-trip), so a per-iteration check would
@@ -377,14 +453,33 @@ def training(args):
                 print(f"[entry_cap] overflow {ovf}; "
                       f"growing {settings.entry_cap} -> {new_cap}")
                 settings = settings._replace(entry_cap=new_cap)
+            if pending_exch_overflow:
+                eovf = int(jnp.max(jnp.stack(pending_exch_overflow)))
+                pending_exch_overflow.clear()
+                if eovf > 0:
+                    # The auto packet_cap (dist/shard.py) is 4·c_local /
+                    # n_stripes rounded to 128; double from the effective
+                    # value (the builder cache key includes packet_cap, so
+                    # the next step re-jits with the new bound).
+                    n_g, n_t = args.mesh
+                    auto = max(128, -(-4 * (cfg.capacity // n_g)
+                                      // (n_g * n_t) // 128) * 128)
+                    packet_cap = 2 * (packet_cap or auto)
+                    print(f"[packet_cap] exchange overflow {eovf}; "
+                          f"growing to {packet_cap}")
             loss = float(metrics["loss"])
             ema_loss = 0.4 * loss + 0.6 * ema_loss
             n_live = int(metrics["num_live"])
             # Grow Gaussian capacity when >90% full.
             if n_live > 0.9 * cfg.capacity:
                 new_cap = cfg.capacity * 2
+                if mesh is not None:
+                    state = unshard(state)
                 state = grow_capacity(state, new_cap)
                 cfg = cfg._replace(capacity=new_cap)
+                if mesh is not None:
+                    state = reshard(state)
+                    sharded_steps.clear()   # keyed on stale capacity
             if iteration % 100 == 0:
                 elapsed = time.time() - t_start
                 print(f"it {iteration:6d} lvl {cur_lvl} loss {ema_loss:.5f} "

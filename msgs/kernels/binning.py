@@ -35,7 +35,6 @@ permanently degrades all subsequent device ops ~100× on this stack.
 """
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 import jax
@@ -48,9 +47,8 @@ BLOCK = 128  # entries per compositor payload block (TPU lane width)
 SUB = 32     # tile-alignment granularity: entries per compositor sub-block
 
 # The (5, E) delta-scatter prefix sums run in the one-pass Pallas scan
-# kernel (msgs/kernels/scan.py) unless MSGS_XLA_SCAN=1 selects the XLA
-# cumsum cascade (A/B escape hatch).
-_USE_PALLAS_SCAN = os.environ.get("MSGS_XLA_SCAN") != "1"
+# kernel (msgs/kernels/scan.py) — measured faster than the XLA cumsum
+# cascade (bench A/B r3: 75.3 vs 76.1 ms; the losing branch is deleted).
 
 # Row-tight emission default: emit per-tile-row ellipse spans instead of
 # full rects (~π/4 of the entries for isotropic splats, far less for
@@ -122,19 +120,13 @@ def _delta_scan(fields, positions, entry_cap: int):
     is elementwise, so callers just `.reshape(entry_cap)` at the end."""
     K = fields.shape[0]
     deltas = jnp.diff(fields, axis=1, prepend=0.0)
-    if _USE_PALLAS_SCAN:
-        s_idx, l_raw = pscan.perm_positions(positions)
-        l_idx = jnp.where(positions < entry_cap, l_raw,
-                          entry_cap // pscan.SUBL)    # OOB → dropped
-        starts = jnp.zeros((K,) + pscan.perm_shape(entry_cap), jnp.float32)
-        starts = starts.at[:, s_idx, l_idx].add(deltas, mode="drop")
-        cums = pscan.cumsum_perm(starts)              # (K, 8, E/8)
-        iota_f = pscan.perm_iota(entry_cap).astype(jnp.float32)
-    else:
-        starts = jnp.zeros((K, entry_cap + 1), jnp.float32)
-        starts = starts.at[:, positions].add(deltas, mode="drop")
-        cums = jnp.cumsum(starts[:, :entry_cap], axis=1)  # (K, entry_cap)
-        iota_f = jax.lax.iota(jnp.float32, entry_cap)
+    s_idx, l_raw = pscan.perm_positions(positions)
+    l_idx = jnp.where(positions < entry_cap, l_raw,
+                      entry_cap // pscan.SUBL)    # OOB → dropped
+    starts = jnp.zeros((K,) + pscan.perm_shape(entry_cap), jnp.float32)
+    starts = starts.at[:, s_idx, l_idx].add(deltas, mode="drop")
+    cums = pscan.cumsum_perm(starts)              # (K, 8, E/8)
+    iota_f = pscan.perm_iota(entry_cap).astype(jnp.float32)
     return cums, iota_f
 
 

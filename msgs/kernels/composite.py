@@ -73,16 +73,15 @@ from jax.experimental.pallas import tpu as pltpu
 from msgs.kernels.binning import BLOCK, SUB
 from msgs.kernels.preprocess import ALPHA_MAX, ALPHA_MIN, T_EPS, TILE
 
-import os as _os
-
 NPIX = TILE * TILE     # 256 pixels per tile
 NFEAT = 12             # payload feature columns (11 used + pad)
 NOUT = 8               # output channels: r g b depth acc T done pad
-# A/B knobs (bench bisection over the tunnel — defaults are the shipped
-# config): MSGS_GROUP resizes the per-grid-step block group, MSGS_NO_SKIP=1
-# disables the saturated-tile early-out branch.
-GROUP = int(_os.environ.get("MSGS_GROUP", "8"))  # payload blocks / grid step
-_SKIP_SATURATED = _os.environ.get("MSGS_NO_SKIP") != "1"
+# GROUP pinned by the r3 bench A/B: 4 is no better, 16 OOMs the backward
+# kernel's VMEM stack; the saturated-tile skip stays on (it costs ~3% on the
+# semi-transparent bench scene but skips most of the entry stream on real
+# opaque scenes whose tiles carry hundreds-deep depth-sorted lists).
+GROUP = 8              # payload blocks / grid step
+_SKIP_SATURATED = True
 NSUB = BLOCK // SUB    # tile-aligned sub-blocks per payload block
 SPG = GROUP * NSUB     # sub-blocks per grid step
 

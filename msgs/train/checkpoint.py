@@ -73,6 +73,31 @@ def load_ply_snapshot(path: str, cfg: GaussianConfig) -> GaussianState:
     return st
 
 
+def grow_capacity(state: TrainState, new_cap: int) -> TrainState:
+    """Pad every capacity-leading array of a TrainState (params, Adam
+    moments, side state) to a larger capacity. New rows are live=False and
+    overwritten on allocation, but the pads stay self-consistent anyway:
+    pixel-size stats use −1 as the "uninitialized" sentinel and quaternions
+    must stay normalizable."""
+    old_cap = int(state.gaussians.xyz.shape[0])
+    assert new_cap >= old_cap, (old_cap, new_cap)
+
+    def pad(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == old_cap:
+            pad_width = [(0, new_cap - old_cap)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, pad_width)
+        return x
+
+    state = jax.tree_util.tree_map(pad, state)
+    g = state.gaussians
+    g = g._replace(
+        max_pixel_sizes=g.max_pixel_sizes.at[old_cap:].set(-1.0),
+        min_pixel_sizes=g.min_pixel_sizes.at[old_cap:].set(-1.0),
+        rotation=g.rotation.at[old_cap:, 0].set(1.0),
+    )
+    return state._replace(gaussians=g)
+
+
 def save_train_state(path: str, state: TrainState):
     flat, treedef = jax.tree_util.tree_flatten(state)
     np.savez_compressed(path, n_leaves=len(flat),

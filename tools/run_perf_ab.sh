@@ -25,12 +25,9 @@ run bench_default           python bench.py
 # Row-tight emission (the headline candidate: ~20-25% fewer entries).
 run bench_rowtight          env MSGS_BENCH_ROW_TIGHT=1 python bench.py
 # Saturated-tile skip off.
-run bench_noskip            env MSGS_NO_SKIP=1 python bench.py
+# (knobs resolved r3: skip pinned on, GROUP=8, Pallas scan only)
 # Compositor group size.
-run bench_group4            env MSGS_GROUP=4 python bench.py
-run bench_group16           env MSGS_GROUP=16 python bench.py
 # Binning scan backend.
-run bench_xla_scan          env MSGS_XLA_SCAN=1 python bench.py
 # Gather strategies at production shape.
 run exp_gather              python tools/exp_gather.py 100000 2097152
 echo "PERF AB DONE $(date)"
