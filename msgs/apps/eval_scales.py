@@ -108,7 +108,10 @@ def main():
             entry = {"l1": float(np.mean(l1s)),
                      "psnr": float(np.mean(psnrs)),
                      "ssim": float(np.mean(ssims)),
-                     "render_ms": float(np.mean(times[1:] or times) * 1000)}
+                     # Median: robust to single-dispatch tunnel stalls (see
+                     # apps/train.py evaluate_scales).
+                     "render_ms": float(np.median(times[1:] or times) * 1000),
+                     "render_ms_mean": float(np.mean(times[1:] or times) * 1000)}
             if lpipss:
                 entry["lpips"] = float(np.mean(lpipss))
             report[f"{split}_s{scale:g}"] = entry

@@ -626,9 +626,15 @@ def evaluate_scales(state, scene, sched, cfg, settings, args, bg, iteration):
                     ssims.append(float(ssim(img, gt)))
                     if lpips is not None:
                         lpipss.append(float(lpips(img, gt)))
+            # Median render time: the axon tunnel occasionally stalls a
+            # single dispatch for seconds (r2's 1.4 s "outliers" at ×4/×16
+            # were one stalled view each, absent at the next eval) — the
+            # median is the device number; the mean is kept for comparison
+            # with the reference protocol (train.py:488-541).
             entry = {
                 "l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs)),
-                "render_ms": float(np.mean(times) * 1000)}
+                "render_ms": float(np.median(times) * 1000),
+                "render_ms_mean": float(np.mean(times) * 1000)}
             if ssims:
                 entry["ssim"] = float(np.mean(ssims))
             if lpipss:

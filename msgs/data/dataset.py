@@ -44,6 +44,7 @@ class ViewInfo:
     width: int               # full-res (after -r) width
     height: int
     white_background: bool = False
+    cache_dir: Optional[str] = None   # on-disk resized-image pyramid cache
     _cache: dict = field(default_factory=dict)
 
     def resolution(self, scale: float) -> Tuple[int, int]:
@@ -58,15 +59,42 @@ class ViewInfo:
                                            self.fovy, w, h)
         return self._cache[key]
 
+    def _resized_uint8(self, scale: float) -> np.ndarray:
+        """Decode + resize, with an on-disk .npy cache in the source dir —
+        the analogue of the reference's camera-pyramid pickle cache
+        (scene/__init__.py:67-101): cold-starting a 300-view scene at 8
+        scales re-decodes/resizes thousands of images otherwise. Cached
+        pre-alpha-composite uint8 (compact; compositing is cheap). Stale
+        entries (source newer than cache) are rebuilt."""
+        w, h = self.resolution(scale)
+        cpath = None
+        if self.cache_dir:
+            cpath = os.path.join(self.cache_dir,
+                                 f"{self.image_name}_{w}x{h}.npy")
+            try:
+                if (os.path.exists(cpath) and os.path.getmtime(cpath)
+                        >= os.path.getmtime(self.image_path)):
+                    return np.load(cpath)
+            except Exception:
+                pass
+        from PIL import Image
+        img = Image.open(self.image_path).resize((w, h))
+        arr = np.asarray(img)
+        if cpath:
+            try:
+                os.makedirs(self.cache_dir, exist_ok=True)
+                tmp = cpath + f".tmp{os.getpid()}"
+                np.save(tmp, arr)
+                os.replace(tmp, cpath)
+            except Exception:
+                pass
+        return arr
+
     def image(self, scale: float = 1.0) -> np.ndarray:
         """GT image at pyramid scale, (H, W, 3) float32 in [0,1]."""
         key = ("img", scale)
         if key not in self._cache:
-            from PIL import Image
-            img = Image.open(self.image_path)
-            w, h = self.resolution(scale)
-            img = img.resize((w, h))
-            arr = np.asarray(img).astype(np.float32) / 255.0
+            arr = self._resized_uint8(scale).astype(np.float32) / 255.0
             if arr.ndim == 2:
                 arr = arr[..., None].repeat(3, -1)
             if arr.shape[-1] == 4:
@@ -122,7 +150,10 @@ def _apply_r_flag(width: int, height: int, r: int) -> Tuple[int, int]:
 def load_colmap_scene(source_path: str, images_dir: str = "images",
                       eval_split: bool = False, llffhold: int = 8,
                       resolution: int = -1,
-                      white_background: bool = False) -> SceneData:
+                      white_background: bool = False,
+                      disk_cache: bool = True) -> SceneData:
+    cache_dir = os.path.join(source_path, "msgs_cache") if disk_cache \
+        else None
     sparse = os.path.join(source_path, "sparse", "0")
     if not os.path.isdir(sparse):
         sparse = os.path.join(source_path, "sparse")
@@ -149,7 +180,7 @@ def load_colmap_scene(source_path: str, images_dir: str = "images",
             uid=len(views), R=R, T=T, fovx=fovx, fovy=fovy,
             image_path=os.path.join(source_path, images_dir, im.name),
             image_name=os.path.splitext(im.name)[0], width=w, height=h,
-            white_background=white_background))
+            white_background=white_background, cache_dir=cache_dir))
 
     if eval_split:
         train = [v for i, v in enumerate(views) if i % llffhold != 0]
@@ -163,7 +194,8 @@ def load_colmap_scene(source_path: str, images_dir: str = "images",
 
 def load_blender_scene(source_path: str, white_background: bool = False,
                        eval_split: bool = True,
-                       resolution: int = -1) -> SceneData:
+                       resolution: int = -1,
+                       disk_cache: bool = True) -> SceneData:
     """NeRF-synthetic transforms_{train,test}.json
     (dataset_readers.py:182-280): OpenGL→COLMAP axis flip, random 100k-point
     init inside [-1.3, 1.3]³."""
@@ -174,6 +206,8 @@ def load_blender_scene(source_path: str, white_background: bool = False,
         with open(path) as f:
             meta = json.load(f)
         fovx = meta["camera_angle_x"]
+        cache_dir = os.path.join(source_path, "msgs_cache") if disk_cache \
+            else None
         out = []
         for fr in meta["frames"]:
             c2w = np.array(fr["transform_matrix"])
@@ -193,7 +227,8 @@ def load_blender_scene(source_path: str, white_background: bool = False,
                 uid=len(out), R=R, T=T, fovx=fovx, fovy=fovy,
                 image_path=img_path,
                 image_name=os.path.splitext(os.path.basename(img_path))[0],
-                width=w, height=h, white_background=white_background))
+                width=w, height=h, white_background=white_background,
+                cache_dir=cache_dir))
         return out
 
     train = read_split("train")
