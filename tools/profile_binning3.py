@@ -42,12 +42,17 @@ with open(SRC_PATH) as f:
     BASE_SRC = f.read()
 
 CUTS = [
-    ("gather only", "    slot_f = ", "    return off_f, kept_f\n"),
-    ("+slot/valid", "    q = jnp.floor", "    return valid\n"),
-    ("+division", "    tx_f = ", "    return q, r\n"),
-    ("+tile_e", "    # Depth", "    return tile_e\n"),
-    ("+dq", "    key_e = ", "    return dq\n"),
-    ("+key_e/gid_e", "    # --- dummy stream", "    return key_e, gid_e\n"),
+    ("counts+offsets", "    # --- per-tile entry counts",
+     "    return counts, offsets, kept\n"),
+    ("+tile histogram", "    # --- emission stream",
+     "    return tcounts\n"),
+    ("+delta scan", "    # Unpack rect fields", "    return cums\n"),
+    ("+decode", "    key_e = ", "    return tile_e, gid\n"),
+    ("+keys", "    gid_starts = ", "    return key_e, gid_e\n"),
+    ("+dummies (pre-sort)", "    keys = jnp.concatenate",
+     "    return key_e, key_d\n"),
+    ("+sort", "    # --- sub-block structure",
+     "    return keys_s, gauss_id\n"),
 ]
 
 
