@@ -6,19 +6,10 @@ The binner (binning.py) packs depth-sorted splat entries into a contiguous
 stream whose 32-entry sub-blocks each belong to exactly one 16×16 tile
 (per-tile dummy entries injected before the sort align tile segments to
 SUB=32 — 4× less padding than 128-alignment, and ~20% fewer wasted
-entry×pixel pairs). The kernels run a 1-D grid over groups of 128-entry
-payload blocks and iterate their four 32-entry sub-blocks; ALL work —
-the heavy per-pair math (alpha eval, transcendentals, prefix products)
-and the bookkeeping — happens at (SUB, 256) width per sub, under a
-per-sub predicate. That granularity is the point: a sub that CONTINUES
-its tile's carried run while every carried pixel is already done (T <
-T_EPS or off-image) provably contributes nothing (alive ≡ 0 ⇒ w ≡ 0,
-all gradients zero, state unchanged — exact, not approximate), and is
-skipped entirely. Depth-sorted real scenes saturate tiles within the
-first sub or two of their often hundreds-deep entry lists, so this is
-the TPU form of the reference CUDA kernel's per-pixel early-out — at
-sub granularity instead of the previous whole-128-block test, which
-only fired when an entire block (and its predecessor) shared one tile.
+entry×pixel pairs). The kernel still runs a 1-D grid over groups of
+128-entry payload blocks: the heavy per-pair math (alpha eval,
+transcendentals, prefix products) executes at full 128-row width; only the
+cheap bookkeeping (T/done updates, state dumps) iterates per sub-block.
 TPU grids execute sequentially on one core, so the running tile state
 lives in VMEM scratch across steps. After each sub-block the kernel dumps
 the running tile state into that sub-block's slot of the output; the
@@ -48,16 +39,17 @@ Work split between the VPU and the MXU:
   of the ones-row (d_op = d_f0/op). φ and the per-entry feature gradients
   (colors/depth/psize) are per-sub matmuls against the cotangent rows.
 
-Within a sub the sequential front-to-back recurrence
+Within a block the sequential front-to-back recurrence
     C += T·α·c ;  T *= (1−α)
 is reformulated with prefix products: cum_i = Π_{j≤i}(1−α_j) via 5 *static*
-sublane-shift Hillis-Steele steps over the 32 entries (compile-time row
-predicates — no run-label compares); cross-sub chaining rides the carried
-per-pixel T in scratch; cum_excl is the sublane *shift* of cum_incl
-(exact — no per-pair divide). The reference CUDA early-out semantics
-(skip α<1/255; a splat that would push T below 1e-4 is dropped and the
-pixel is done — SURVEY.md §2.3 step 3) are reproduced exactly via
-prefix-monotone alive masks and a sticky done flag.
+sublane-shift Hillis-Steele steps per 32-entry sub-block (sub boundaries
+are static, so the step masks are compile-time row predicates — no
+run-label compares) chained across sub-blocks with scalar-selected carry
+rows; cum_excl is the sublane *shift* of cum_incl (exact — no per-pair
+divide). The reference CUDA early-out semantics (skip α<1/255; a splat
+that would push T below 1e-4 is dropped and the pixel is done — SURVEY.md
+§2.3 step 3) are reproduced exactly via prefix-monotone alive masks and a
+sticky done flag.
 
 The backward pass is a single front-to-back re-traversal (no atomics): with
 φ_i = gC·c_i + gD·d_i + gA·p_i and S_i = Σ_{j>i} w_jφ_j + T_final·gT,
@@ -202,6 +194,25 @@ def _seg_cumsum_rows(x, tid_col):
     return y
 
 
+def _chain_carries(loc_incl, fresh, mode: str):
+    """Per-sub carry rows for chaining static per-sub scans across a
+    multi-sub tile run within one block.
+
+    loc_incl: (BLOCK, NPIX) within-sub inclusive scan; fresh: NSUB python
+    list of scalar bools (fresh[0] unused — sub 0's carry is the identity:
+    prior-block factors live in the per-row carried state, not the carry).
+    Returns NSUB × (1, NPIX) carry rows (prefix over previous same-run subs).
+    """
+    ident = 1.0 if mode == "mul" else 0.0
+    carries = [jnp.full((1, NPIX), ident, jnp.float32)]
+    for k in range(1, NSUB):
+        last = loc_incl[k * SUB - 1:k * SUB, :]
+        prev_tot = (carries[k - 1] * last if mode == "mul"
+                    else carries[k - 1] + last)
+        carries.append(jnp.where(fresh[k], ident, prev_tot))
+    return carries
+
+
 def _prefix_products(alpha, t_in):
     """cum_incl/cum_excl along the entry axis + per-entry T_after.
 
@@ -267,28 +278,48 @@ def _local_basis_t():
          jnp.zeros((NPIX, 2), jnp.float32)], axis=1)
 
 
-class _SubCtx:
-    """Per-sub-block (SUB, NPIX) shared fwd/bwd math.
+def _sub_cols(vals):
+    """NSUB scalars → (BLOCK, 1) f32 column, constant per SUB-row group."""
+    return jnp.concatenate(
+        [jnp.full((SUB, 1), v, jnp.float32) for v in vals], axis=0)
 
-    One sub belongs to exactly one tile (binning aligns tile segments to
-    SUB); the incoming per-pixel state is either the carried scratch rows
-    (same tile as the previous sub) or a fresh tile (T=1, off-image pixels
-    done). Bool selects, never arithmetic blends: the scratch is garbage
-    before the first real tile and 0·NaN would poison it."""
 
-    def __init__(self, feat, tid, fresh, t_row, done_row,
+def _sub_rows(rows):
+    """NSUB × (1, NPIX) rows → (BLOCK, NPIX), broadcast per SUB-row group."""
+    return jnp.concatenate(
+        [jnp.broadcast_to(r, (SUB, NPIX)) for r in rows], axis=0)
+
+
+class _BlockCtx:
+    """Per-128-block shared fwd/bwd math with intra-block tile runs.
+
+    Every SUB-entry row group belongs to one tile (binning aligns tile
+    segments to SUB); the heavy per-pair math runs at full 128-row width,
+    with per-sub static scans chained by scalar-selected carries and
+    per-row incoming state selected between the carried scratch state and
+    a fresh tile."""
+
+    def __init__(self, feat, tids, prev_tid, not_first, t_run, done_run,
                  tiles_x: int, width: int, height: int):
-        ox = (tid % tiles_x).astype(jnp.float32) * TILE
-        oy = (tid // tiles_x).astype(jnp.float32) * TILE
+        txs = [(t % tiles_x).astype(jnp.float32) * TILE for t in tids]
+        tys = [(t // tiles_x).astype(jnp.float32) * TILE for t in tids]
+        ox_col = _sub_cols(txs)
+        oy_col = _sub_cols(tys)
+        prev_f = prev_tid.astype(jnp.float32)
+        tid_col = _sub_cols([t.astype(jnp.float32) for t in tids])
+        # Bool select (never an arithmetic blend): the scratch state is
+        # garbage before the first real tile, and 0·NaN would poison it.
+        carried = (tid_col == prev_f) & not_first   # (BLOCK, 1) bool
+
         pxl, pyl = _local_pix()                    # (1, NPIX)
-        mxl = feat[:, F_MX:F_MX + 1] - ox          # (SUB, 1)
-        myl = feat[:, F_MY:F_MY + 1] - oy
+        mxl = feat[:, F_MX:F_MX + 1] - ox_col      # (BLOCK, 1)
+        myl = feat[:, F_MY:F_MY + 1] - oy_col
         cxx = feat[:, F_CXX:F_CXX + 1]
         cxy = feat[:, F_CXY:F_CXY + 1]
         cyy = feat[:, F_CYY:F_CYY + 1]
         op = feat[:, F_OP:F_OP + 1]
 
-        dx = pxl - mxl                             # (SUB, NPIX)
+        dx = pxl - mxl                             # (BLOCK, NPIX)
         dy = pyl - myl
         power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
         gsp = jnp.exp(power)
@@ -296,32 +327,92 @@ class _SubCtx:
         mask = (alpha_raw >= ALPHA_MIN) & (power <= 0.0)
         alpha = jnp.where(mask, jnp.minimum(alpha_raw, ALPHA_MAX), 0.0)
 
-        f = 1.0 - alpha
-        cum_incl = _sub_cumprod_static(f)          # (SUB, NPIX)
-        cum_excl = jnp.concatenate(
-            [jnp.ones((1, NPIX), jnp.float32), cum_incl[:-1]], axis=0)
+        # fresh[k]: sub k starts a new tile run within this block (fresh[0]
+        # refers to the block boundary and only gates the *state chain* —
+        # the scan carry for sub 0 is always the identity).
+        fresh = [None] * NSUB
+        for k in range(1, NSUB):
+            fresh[k] = tids[k] != tids[k - 1]
 
-        outside = ((pxl + ox >= width)
-                   | (pyl + oy >= height)).astype(jnp.float32)  # (1, NPIX)
-        t_in = jnp.where(fresh, 1.0, t_row)        # (1, NPIX)
-        done = jnp.where(fresh, outside, done_row)
+        f = 1.0 - alpha
+        loc = _sub_cumprod_static(f)
+        carries = _chain_carries(loc, fresh, "mul")
+        row = _sub_row_iota(BLOCK)
+        excl_loc = jnp.where(
+            row >= 1,
+            jnp.concatenate([jnp.ones((1, NPIX), jnp.float32), loc[:-1]], 0),
+            1.0)
+        cum_incl = jnp.concatenate(
+            [loc[k * SUB:(k + 1) * SUB] * carries[k] for k in range(NSUB)], 0)
+        cum_excl = jnp.concatenate(
+            [excl_loc[k * SUB:(k + 1) * SUB] * carries[k]
+             for k in range(NSUB)], 0)
+
+        # Per-row incoming transmittance/done: a carried run continues the
+        # scratch state; fresh runs start at T=1 with off-image pixels done.
+        outside = (((pxl + ox_col) >= width)
+                   | ((pyl + oy_col) >= height)).astype(jnp.float32)
+        t_in = jnp.where(carried, t_run, 1.0)      # (BLOCK, NPIX)
+        done = jnp.where(carried, done_run, outside)
         t_after = t_in * cum_incl
         alive = (t_after >= T_EPS).astype(jnp.float32) * (1.0 - done)
 
         self.mxl, self.myl = mxl, myl
         self.cxx, self.cxy, self.cyy, self.op = cxx, cxy, cyy, op
-        self.alpha, self.alpha_raw = alpha, alpha_raw
+        self.alpha, self.alpha_raw, self.gsp = alpha, alpha_raw, gsp
         self.mask, self.f = mask, f
+        self.dx, self.dy = dx, dy
         self.cum_excl, self.t_after = cum_excl, t_after
         self.t_in, self.alive = t_in, alive
-        self.done_in = done
-        self.w = alpha * t_in * cum_excl * alive   # (SUB, NPIX)
-        # Post-sub state rows.
-        self.t_new = jnp.min(jnp.where(alive > 0.0, t_after, 2.0),
-                             axis=0, keepdims=True)
-        self.t_new = jnp.minimum(t_in, self.t_new)
-        self.done_new = jnp.maximum(
-            done, (t_after[-1:, :] < T_EPS).astype(jnp.float32))
+        self.w = alpha * t_in * cum_excl * alive   # (BLOCK, NPIX)
+        self.tids, self.carried, self.fresh = tids, carried, fresh
+        self.outside = outside                     # (BLOCK, NPIX)
+        self.carried0 = (tids[0] == prev_tid) & not_first
+
+
+def _sub_accs(ctx, feat, w):
+    """Per-sub feature accumulation: exact-f32 VPU broadcast-reduces (the
+    MXU form needs a transposed operand Mosaic can't be trusted with, and
+    at 5×SUB×256 the VPU cost is small)."""
+    out = []
+    for k in range(NSUB):
+        rows = slice(k * SUB, (k + 1) * SUB)
+        out.append(jnp.stack([
+            jnp.sum(feat[rows, F_R + i:F_R + i + 1] * w[rows], axis=0)
+            for i in range(5)], axis=0))           # (5, NPIX)
+    return out
+
+
+def _sub_states(ctx, accs, state_ref):
+    """Per-sub-block output states as a branch-free select chain.
+
+    Returns states where states[k] is the (NOUT, NPIX) tile state after
+    applying sub-block k. Rounding stays left-associative (base, then
+    acc_j ascending) so values match the jnp oracle exactly."""
+    tmins, lastts = [], []
+    for k in range(NSUB):
+        rows = slice(k * SUB, (k + 1) * SUB)
+        tmins.append(jnp.min(
+            jnp.where(ctx.alive[rows] > 0.0, ctx.t_after[rows], 2.0),
+            axis=0, keepdims=True))                # (1, NPIX)
+        lastts.append(ctx.t_after[(k + 1) * SUB - 1:(k + 1) * SUB, :])
+
+    states = []
+    acc_st = state_ref[O_R:O_ACC + 1, :]
+    t_st = state_ref[O_T:O_T + 1, :]
+    done_st = state_ref[O_DONE:O_DONE + 1, :]
+    for k in range(NSUB):
+        fresh = ctx.fresh[k] if k > 0 else jnp.logical_not(ctx.carried0)
+        outside_k = ctx.outside[k * SUB:k * SUB + 1, :]
+        acc_st = jnp.where(fresh, accs[k], acc_st + accs[k])
+        t_st = jnp.minimum(jnp.where(fresh, 1.0, t_st), tmins[k])
+        done_st = jnp.maximum(
+            jnp.where(fresh, outside_k, done_st),
+            (lastts[k] < T_EPS).astype(jnp.float32))
+        states.append(jnp.concatenate(
+            [acc_st, t_st, done_st,
+             jnp.zeros((NOUT - O_DONE - 1, NPIX), jnp.float32)], axis=0))
+    return states
 
 
 def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
@@ -337,46 +428,58 @@ def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
         contrib_ref[:, :] = jnp.zeros((SUB, 128), jnp.float32)
 
     for g in range(GROUP):
+        b = s * GROUP + g
+        sb0 = b * NSUB
+        tids = [st_ref[sb0 + k] for k in range(NSUB)]
+        prev = st_ref[jnp.maximum(sb0 - 1, 0)]
+        nf = sb0 > 0
+        compute = sv_ref[sb0] == 1
+
+        # Saturated-tile block skip (the TPU form of the reference kernel's
+        # per-pixel early-out): when every sub continues the carried tile
+        # AND every carried pixel is done (T < T_EPS or off-image), the
+        # whole block provably contributes nothing (alive ≡ 0 ⇒ w ≡ 0) and
+        # leaves the tile state unchanged — exact equivalence, not an
+        # approximation. done values are exactly 0.0/1.0, so the f32 sum
+        # test is exact. Typical scenes saturate tiles within the first
+        # block or two of their (often hundreds-deep) entry list.
+        same_tile = nf
         for k in range(NSUB):
-            sb = (s * GROUP + g) * NSUB + k
-            tid = st_ref[sb]
-            prev = st_ref[jnp.maximum(sb - 1, 0)]
-            fresh = jnp.logical_or(sb == 0, tid != prev)
-            valid = sv_ref[sb] == 1
+            same_tile = jnp.logical_and(same_tile, tids[k] == prev)
+        if _SKIP_SATURATED:
             saturated = (jnp.sum(state_ref[O_DONE:O_DONE + 1, :])
                          >= float(NPIX))
-            live = jnp.logical_and(
-                valid, jnp.logical_or(fresh, jnp.logical_not(saturated)))
+            skip = jnp.logical_and(same_tile, saturated)
 
-            @pl.when(live)
+            @pl.when(jnp.logical_and(compute, skip))
             def _():
-                feat = payload_ref[g, k * SUB:(k + 1) * SUB, :]
-                ctx = _SubCtx(feat, tid, fresh,
-                              state_ref[O_T:O_T + 1, :],
-                              state_ref[O_DONE:O_DONE + 1, :],
-                              tiles_x, width, height)
-                # Feature accumulation: exact-f32 VPU broadcast-reduces
-                # (the MXU form needs a transposed operand; at 5×SUB×256
-                # the VPU cost is small). Left-associative rounding
-                # matches the jnp oracle exactly.
-                acc = jnp.stack([
-                    jnp.sum(feat[:, F_R + i:F_R + i + 1] * ctx.w, axis=0)
-                    for i in range(5)], axis=0)    # (5, NPIX)
-                acc_st = jnp.where(fresh, acc,
-                                   state_ref[O_R:O_ACC + 1, :] + acc)
-                new_state = jnp.concatenate(
-                    [acc_st, ctx.t_new, ctx.done_new,
-                     jnp.zeros((NOUT - O_DONE - 1, NPIX), jnp.float32)],
-                    axis=0)
-                state_ref[:] = new_state
-                wmax = jnp.max(ctx.w, axis=1, keepdims=True)  # (SUB, 1)
+                # State is unchanged; the tile's last sub may live here, so
+                # its slots must still carry the running state.
+                for k in range(NSUB):
+                    out_ref[g * NSUB + k] = state_ref[:]
+        else:
+            skip = jnp.full((), False)
+
+        @pl.when(jnp.logical_and(compute, jnp.logical_not(skip)))
+        def _():
+            feat = payload_ref[g]                  # (BLOCK, NFEAT)
+            ctx = _BlockCtx(feat, tids, prev, nf,
+                            state_ref[O_T:O_T + 1, :],
+                            state_ref[O_DONE:O_DONE + 1, :],
+                            tiles_x, width, height)
+            wmax = jnp.max(ctx.w, axis=1, keepdims=True)   # (BLOCK, 1)
+            accs = _sub_accs(ctx, feat, ctx.w)
+            states = _sub_states(ctx, accs, state_ref)
+            delta = jnp.zeros((SUB, 128), jnp.float32)
+            for k in range(NSUB):
+                sb = sb0 + k
+                rows = slice(k * SUB, (k + 1) * SUB)
                 oh = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                       == sb % 128).astype(jnp.float32)
-                contrib_ref[:, :] += wmax * oh
-
-            # Every sub's slot carries the running state (the tile's last
-            # sub may be a skipped one); skipped subs copy it unchanged.
-            out_ref[g * NSUB + k] = state_ref[:]
+                delta = delta + wmax[rows] * oh
+                out_ref[g * NSUB + k] = states[k]
+            contrib_ref[:, :] += delta
+            state_ref[:] = states[NSUB - 1]
 
 
 def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
@@ -392,91 +495,125 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
     dpay_ref[...] = jnp.zeros((GROUP, BLOCK, NFEAT), jnp.float32)
 
     for g in range(GROUP):
+        b = s * GROUP + g
+        sb0 = b * NSUB
+        tids = [st_ref[sb0 + k] for k in range(NSUB)]
+        prev = st_ref[jnp.maximum(sb0 - 1, 0)]
+        nf = sb0 > 0
+        compute = sv_ref[sb0] == 1
+
+        # Same saturated-tile skip as the forward kernel: alive ≡ 0 ⇒ all
+        # gradients of this block are zero (dpay is pre-zeroed) and the
+        # carried (t, done, wφ-prefix) scratch is unchanged.
+        same_tile = nf
         for k in range(NSUB):
-            sb = (s * GROUP + g) * NSUB + k
-            tid = st_ref[sb]
-            prev = st_ref[jnp.maximum(sb - 1, 0)]
-            fresh = jnp.logical_or(sb == 0, tid != prev)
-            valid = sv_ref[sb] == 1
-            # Same per-sub saturation skip as forward: alive ≡ 0 ⇒ all of
-            # this sub's gradients are zero (dpay is pre-zeroed) and the
-            # carried (t, done, wφ-prefix) scratch is unchanged.
+            same_tile = jnp.logical_and(same_tile, tids[k] == prev)
+        if _SKIP_SATURATED:
             saturated = jnp.sum(state_ref[1:2, :]) >= float(NPIX)
             live = jnp.logical_and(
-                valid, jnp.logical_or(fresh, jnp.logical_not(saturated)))
+                compute,
+                jnp.logical_not(jnp.logical_and(same_tile, saturated)))
+        else:
+            live = compute
 
-            @pl.when(live)
-            def _():
-                feat = payload_ref[g, k * SUB:(k + 1) * SUB, :]
-                ctx = _SubCtx(feat, tid, fresh,
-                              state_ref[0:1, :], state_ref[1:2, :],
-                              tiles_x, width, height)
-                cst = cst_refs[g * NSUB + k][0]    # (8, NPIX)
-                cstt = cstt_refs[g * NSUB + k][0]  # (NPIX, 8)
+        @pl.when(live)
+        def _():
+            feat = payload_ref[g]                  # (BLOCK, NFEAT)
+            ctx = _BlockCtx(feat, tids, prev, nf,
+                            state_ref[0:1, :], state_ref[1:2, :],
+                            tiles_x, width, height)
+            csts = [cst_refs[g * NSUB + k][0] for k in range(NSUB)]
 
-                t_i = ctx.t_in * ctx.cum_excl      # transmittance before i
-                w = ctx.w                          # (SUB, NPIX)
+            t_i = ctx.t_in * ctx.cum_excl          # transmittance before i
+            w = ctx.w                              # (BLOCK, NPIX)
 
-                # φ and per-entry feature grads: NN matmuls against the
-                # tile's constant cotangent rows / their pre-transposed copy.
-                phi = _dot(feat[:, F_R:F_R + nf_phi],
-                           cst[C_GR:C_GR + nf_phi, :])          # (SUB, NPIX)
-                dfeat = _dot(w, cstt[:, C_GR:C_GR + nf_phi])    # (SUB, nf)
-
-                # Per-run wφ prefix: static per-sub scan + carried offset.
-                p_row = jnp.where(fresh, 0.0, state_ref[2:3, :])
-                prefix = p_row + _sub_cumsum_static(w * phi)
-                suffix = (cst[C_TPHI:C_TPHI + 1, :]
-                          + cst[C_TFGT:C_TFGT + 1, :]) - prefix
-
-                d_alpha = (t_i * phi - suffix / ctx.f) * ctx.alive * \
-                    ctx.mask.astype(jnp.float32)
-                unclamped = (ctx.alpha_raw < ALPHA_MAX).astype(jnp.float32)
-                d_power = d_alpha * ctx.alpha * unclamped
-
-                # Geometry gradients: one MXU contraction against the
-                # static local-pixel basis, then per-entry chain rules.
-                dcoef = _dot(d_power, basis)       # (SUB, 8), cols 6-7 pad
-                d_q20 = dcoef[:, 0:1]              # Σ d_power·x²
-                d_q11 = dcoef[:, 1:2]              # Σ d_power·xy
-                d_q02 = dcoef[:, 2:3]              # Σ d_power·y²
-                d_q10 = dcoef[:, 3:4]              # Σ d_power·x
-                d_q01 = dcoef[:, 4:5]              # Σ d_power·y
-                d_q00 = dcoef[:, 5:6]              # Σ d_power
-                mxl, myl = ctx.mxl, ctx.myl
-                cxx, cxy, cyy = ctx.cxx, ctx.cxy, ctx.cyy
-                # power = −½cxx(x−mxl)² − ½cyy(y−myl)² − cxy(x−mxl)(y−myl):
-                # d_cxx = Σ d_power·(−½(x−mxl)²) via the monomial sums.
-                d_cxx = -0.5 * (d_q20 - 2.0 * mxl * d_q10
-                                + mxl * mxl * d_q00)
-                d_cyy = -0.5 * (d_q02 - 2.0 * myl * d_q01
-                                + myl * myl * d_q00)
-                d_cxy = -(d_q11 - myl * d_q10 - mxl * d_q01
-                          + mxl * myl * d_q00)
-                d_mx = cxx * (d_q10 - mxl * d_q00) + \
-                    cxy * (d_q01 - myl * d_q00)
-                d_my = cyy * (d_q01 - myl * d_q00) + \
-                    cxy * (d_q10 - mxl * d_q00)
-                # α = op·exp(power) ⇒ d_op = Σ d_alpha·exp(power) =
-                # d_q00/op (d_power = d_alpha·α·unclamped and α =
-                # op·exp(power) on surviving rows; op = 0 only on dummy
-                # rows, whose mask is 0).
-                d_op = jnp.where(ctx.op > 0.0,
-                                 d_q00 / jnp.maximum(ctx.op, 1e-30), 0.0)
-
+            # φ and per-entry feature grads: per-sub NN matmuls against the
+            # sub's constant cotangent rows g_k (nf, NPIX) and their
+            # pre-transposed copy gt_k (NPIX, nf).
+            phi_parts, dfeat_parts = [], []
+            for k in range(NSUB):
                 rows = slice(k * SUB, (k + 1) * SUB)
-                dpay_ref[g, rows, F_MX] = d_mx[:, 0]
-                dpay_ref[g, rows, F_MY] = d_my[:, 0]
-                dpay_ref[g, rows, F_CXX] = d_cxx[:, 0]
-                dpay_ref[g, rows, F_CXY] = d_cxy[:, 0]
-                dpay_ref[g, rows, F_CYY] = d_cyy[:, 0]
-                dpay_ref[g, rows, F_OP] = d_op[:, 0]
-                for i in range(nf_phi):
-                    dpay_ref[g, rows, F_R + i] = dfeat[:, i]
+                g_k = csts[k][C_GR:C_GR + nf_phi, :]
+                gt_k = cstt_refs[g * NSUB + k][0][:, C_GR:C_GR + nf_phi]
+                phi_parts.append(_dot(feat[rows, F_R:F_R + nf_phi], g_k))
+                dfeat_parts.append(_dot(w[rows], gt_k))         # (SUB, nf)
+            phi = jnp.concatenate(phi_parts, axis=0)            # (B, NPIX)
+            dfeat = jnp.concatenate(dfeat_parts, axis=0)        # (B, nf)
 
-                state_ref[0:1, :] = ctx.t_new
-                state_ref[1:2, :] = ctx.done_new
-                state_ref[2:3, :] = prefix[SUB - 1:SUB, :]
+            # Per-run wφ prefix: static per-sub scans + scalar carries +
+            # the carried-run scratch offset.
+            p_rows = jnp.where(ctx.carried, state_ref[2:3, :], 0.0)
+            loc = _sub_cumsum_static(w * phi)
+            carries = _chain_carries(loc, ctx.fresh, "add")
+            prefix = p_rows + jnp.concatenate(
+                [loc[k * SUB:(k + 1) * SUB] + carries[k]
+                 for k in range(NSUB)], axis=0)
+
+            sfx_c = _sub_rows([
+                c[C_TPHI:C_TPHI + 1, :] + c[C_TFGT:C_TFGT + 1, :]
+                for c in csts])
+            suffix = sfx_c - prefix
+
+            d_alpha = (t_i * phi - suffix / ctx.f) * ctx.alive * \
+                ctx.mask.astype(jnp.float32)
+            unclamped = (ctx.alpha_raw < ALPHA_MAX).astype(jnp.float32)
+            d_power = d_alpha * ctx.alpha * unclamped
+
+            # Geometry gradients: one MXU contraction against the static
+            # local-pixel basis, then per-entry chain rules.
+            dcoef = _dot(d_power, basis)           # (BLOCK, 8), cols 6-7 pad
+            d_q20 = dcoef[:, 0:1]                  # Σ d_power·x²
+            d_q11 = dcoef[:, 1:2]                  # Σ d_power·xy
+            d_q02 = dcoef[:, 2:3]                  # Σ d_power·y²
+            d_q10 = dcoef[:, 3:4]                  # Σ d_power·x
+            d_q01 = dcoef[:, 4:5]                  # Σ d_power·y
+            d_q00 = dcoef[:, 5:6]                  # Σ d_power
+            mxl, myl = ctx.mxl, ctx.myl
+            cxx, cxy, cyy = ctx.cxx, ctx.cxy, ctx.cyy
+            # power = −½cxx(x−mxl)² − ½cyy(y−myl)² − cxy(x−mxl)(y−myl):
+            # d_cxx = Σ d_power·(−½(x−mxl)²) expanded in the monomial sums.
+            d_cxx = -0.5 * (d_q20 - 2.0 * mxl * d_q10 + mxl * mxl * d_q00)
+            d_cyy = -0.5 * (d_q02 - 2.0 * myl * d_q01 + myl * myl * d_q00)
+            d_cxy = -(d_q11 - myl * d_q10 - mxl * d_q01 + mxl * myl * d_q00)
+            d_mx = cxx * (d_q10 - mxl * d_q00) + cxy * (d_q01 - myl * d_q00)
+            d_my = cyy * (d_q01 - myl * d_q00) + cxy * (d_q10 - mxl * d_q00)
+            # α = op·exp(power) ⇒ d_op = Σ d_alpha·exp(power) = d_q00/op
+            # (d_power = d_alpha·α·unclamped and α = op·exp(power) on the
+            # surviving rows; op = 0 only on dummy rows, whose mask is 0).
+            d_op = jnp.where(ctx.op > 0.0, d_q00 / jnp.maximum(ctx.op, 1e-30),
+                             0.0)
+
+            # Column stores — natural in the entry-major layout.
+            dpay_ref[g, :, F_MX] = d_mx[:, 0]
+            dpay_ref[g, :, F_MY] = d_my[:, 0]
+            dpay_ref[g, :, F_CXX] = d_cxx[:, 0]
+            dpay_ref[g, :, F_CXY] = d_cxy[:, 0]
+            dpay_ref[g, :, F_CYY] = d_cyy[:, 0]
+            dpay_ref[g, :, F_OP] = d_op[:, 0]
+            for i in range(nf_phi):
+                dpay_ref[g, :, F_R + i] = dfeat[:, i]
+
+            # Advance the per-tile scratch exactly as the forward pass
+            # does, but branch-free and only to the block's final state
+            # (intermediate sub-block states are never read back here).
+            t_st = state_ref[0:1, :]
+            done_st = state_ref[1:2, :]
+            for k in range(NSUB):
+                fresh = ctx.fresh[k] if k > 0 else \
+                    jnp.logical_not(ctx.carried0)
+                rows = slice(k * SUB, (k + 1) * SUB)
+                tmin = jnp.min(
+                    jnp.where(ctx.alive[rows] > 0.0, ctx.t_after[rows], 2.0),
+                    axis=0, keepdims=True)
+                lastt = ctx.t_after[(k + 1) * SUB - 1:(k + 1) * SUB, :]
+                outside_k = ctx.outside[k * SUB:k * SUB + 1, :]
+                t_st = jnp.minimum(jnp.where(fresh, 1.0, t_st), tmin)
+                done_st = jnp.maximum(
+                    jnp.where(fresh, outside_k, done_st),
+                    (lastt < T_EPS).astype(jnp.float32))
+            state_ref[0:1, :] = t_st
+            state_ref[1:2, :] = done_st
+            state_ref[2:3, :] = prefix[BLOCK - 1:BLOCK, :]
 
 
 def _interpret() -> bool:
