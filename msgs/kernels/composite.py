@@ -486,8 +486,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
                 tiles_x: int, width: int, height: int,
                 image_only: bool = False):
     cst_refs = rest[:SPG]                          # SPG × (1, 8, NPIX)
-    cstt_refs = rest[SPG:2 * SPG]                  # SPG × (1, NPIX, 8)
-    dpay_ref, state_ref = rest[2 * SPG], rest[2 * SPG + 1]
+    dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
     s = pl.program_id(0)
     nf_phi = 3 if image_only else 5                # r g b (depth psize)
     basis = _local_basis_t()                       # (NPIX, 8) static
@@ -527,18 +526,21 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             t_i = ctx.t_in * ctx.cum_excl          # transmittance before i
             w = ctx.w                              # (BLOCK, NPIX)
 
-            # φ and per-entry feature grads: per-sub NN matmuls against the
-            # sub's constant cotangent rows g_k (nf, NPIX) and their
-            # pre-transposed copy gt_k (NPIX, nf).
-            phi_parts, dfeat_parts = [], []
-            for k in range(NSUB):
-                rows = slice(k * SUB, (k + 1) * SUB)
-                g_k = csts[k][C_GR:C_GR + nf_phi, :]
-                gt_k = cstt_refs[g * NSUB + k][0][:, C_GR:C_GR + nf_phi]
-                phi_parts.append(_dot(feat[rows, F_R:F_R + nf_phi], g_k))
-                dfeat_parts.append(_dot(w[rows], gt_k))         # (SUB, nf)
-            phi = jnp.concatenate(phi_parts, axis=0)            # (B, NPIX)
-            dfeat = jnp.concatenate(dfeat_parts, axis=0)        # (B, nf)
+            # φ and per-entry feature grads on the VPU: per-sub MXU matmuls
+            # here are (32×nf)·(nf×256) — far too small to amortize dispatch
+            # (8 tiny matmuls per block ≈ 115k dispatches per pass, measured
+            # several ms of pure launch latency). Instead each sub's constant
+            # cotangent row is broadcast to block width once and φ / dfeat
+            # come from nf broadcast-FMAs + nf lane reductions.
+            g_rows = [
+                _sub_rows([csts[k][C_GR + c:C_GR + c + 1, :]
+                           for k in range(NSUB)])  # (BLOCK, NPIX)
+                for c in range(nf_phi)]
+            phi = g_rows[0] * feat[:, F_R:F_R + 1]
+            for c in range(1, nf_phi):
+                phi = phi + g_rows[c] * feat[:, F_R + c:F_R + c + 1]
+            dfeat_cols = [jnp.sum(w * g_rows[c], axis=1, keepdims=True)
+                          for c in range(nf_phi)]  # nf × (BLOCK, 1)
 
             # Per-run wφ prefix: static per-sub scans + scalar carries +
             # the carried-run scratch offset.
@@ -591,7 +593,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             dpay_ref[g, :, F_CYY] = d_cyy[:, 0]
             dpay_ref[g, :, F_OP] = d_op[:, 0]
             for i in range(nf_phi):
-                dpay_ref[g, :, F_R + i] = dfeat[:, i]
+                dpay_ref[g, :, F_R + i] = dfeat_cols[i][:, 0]
 
             # Advance the per-tile scratch exactly as the forward pass
             # does, but branch-free and only to the block's final state
@@ -674,9 +676,6 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
         cot[:, O_ACC:O_ACC + 1, :],
         total_phi, tf_gt,
         jnp.zeros_like(tf_gt)], axis=1)             # (T, 8, NPIX)
-    # The transposed copy feeds the per-entry feature-gradient NN matmuls
-    # (w @ gt) without any in-kernel transpose.
-    cst_tt = jnp.transpose(cst_t, (0, 2, 1))        # (T, NPIX, 8)
     # The kernel pulls each sub-block's constant rows straight from the
     # small (T, 8, NPIX) table with scalar-prefetched dynamic index maps —
     # no (S_cap, 8, NPIX) materialization.
@@ -686,20 +685,13 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
             lambda s, st, sv, j=j: (st[s * SPG + j], 0, 0),
             memory_space=pltpu.VMEM)
 
-    def cstt_spec(j):
-        return pl.BlockSpec(
-            (1, NPIX, 8),
-            lambda s, st, sv, j=j: (st[s * SPG + j], 0, 0),
-            memory_space=pltpu.VMEM)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b_cap // GROUP,),
         in_specs=[
             pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [cst_spec(j) for j in range(SPG)]
-          + [cstt_spec(j) for j in range(SPG)],
+        ] + [cst_spec(j) for j in range(SPG)],
         out_specs=[
             pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -712,7 +704,7 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
         interpret=_interpret(),
-    )(sub_tile, sub_valid, payload, *([cst_t] * SPG), *([cst_tt] * SPG))
+    )(sub_tile, sub_valid, payload, *([cst_t] * SPG))
     return dpay
 
 

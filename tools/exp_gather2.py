@@ -67,7 +67,9 @@ def main():
 
     # 2) Pallas: sublane take from the full (TP, F) VMEM table.
     def k_sub(gid_ref, table_ref, out_ref):
-        out_ref[0] = jnp.take(table_ref[...], gid_ref[0], axis=0)
+        idx = gid_ref[0].reshape(-1)               # (BLK,) — 1-D indices
+        g = jnp.take(table_ref[...], idx, axis=0)  # (BLK, F)
+        out_ref[0] = g.reshape(8, BLK // 8, F)
 
     def pallas_sub(table_p, gid3):
         return pl.pallas_call(
@@ -96,7 +98,9 @@ def main():
 
     # 3) Pallas: lane take from the transposed (F, TP) VMEM table.
     def k_lane(gid_ref, table_ref, out_ref):
-        out_ref[0] = jnp.take(table_ref[...], gid_ref[0], axis=1)
+        idx = gid_ref[0].reshape(-1)               # (BLK,)
+        g = jnp.take(table_ref[...], idx, axis=1)  # (F, BLK)
+        out_ref[0] = g.reshape(F, 8, BLK // 8)
 
     def pallas_lane(table_t, gid3):
         return pl.pallas_call(
