@@ -123,8 +123,13 @@ def _delta_scan(fields, positions, entry_cap: int):
     s_idx, l_raw = pscan.perm_positions(positions)
     l_idx = jnp.where(positions < entry_cap, l_raw,
                       entry_cap // pscan.SUBL)    # OOB → dropped
-    starts = jnp.zeros((K,) + pscan.perm_shape(entry_cap), jnp.float32)
-    starts = starts.at[:, s_idx, l_idx].add(deltas, mode="drop")
+    # Per-plane scatters: XLA lowers the batched (K, N) scatter with a
+    # leading batch dim ~1 ms slower than K independent 2-D scatters
+    # (measured r3 at K=5, N=100k, E=1.6M).
+    starts = jnp.stack([
+        jnp.zeros(pscan.perm_shape(entry_cap), jnp.float32)
+           .at[s_idx, l_idx].add(deltas[i], mode="drop")
+        for i in range(K)])
     cums = pscan.cumsum_perm(starts)              # (K, 8, E/8)
     iota_f = pscan.perm_iota(entry_cap).astype(jnp.float32)
     return cums, iota_f
@@ -163,18 +168,28 @@ def _bin_gaussians_rect(pre: PreprocessOut, width: int, height: int,
     # consistent under overflow (the step is discarded and retried anyway).
     kept = counts * (offsets + counts <= entry_cap)
 
-    # --- per-tile entry counts: corner-scatter 2-D difference histogram ---
+    # --- per-tile entry counts: 2-D difference histogram on the MXU ---
+    # The separable identity diff = Σ_g outer(ey0_g − ey1_g, ex0_g − ex1_g)
+    # turns the 4 corner scatter-adds (heavily colliding 100k-row scatters,
+    # ~2.5 ms measured) into ONE f32 matmul over one-hot row/col indicator
+    # differences (~0.2 ms). Products are 0/±1 (exact in every precision);
+    # sums stay < 2^24, so the result is exact integer-valued f32. Dead
+    # rows get ey ≡ 0 (y0 = y1 out of range), killing their contribution
+    # regardless of x columns.
     live = kept > 0
-    # Out-of-range corners are dropped (mode="drop") for dead rows.
     y0 = jnp.where(live, pre.rect_min[:, 1], tiles_y + 1)
     y1 = jnp.where(live, pre.rect_max[:, 1], tiles_y + 1)
     x0 = pre.rect_min[:, 0]
     x1 = pre.rect_max[:, 0]
-    diff = jnp.zeros((tiles_y + 2, tiles_x + 2), jnp.float32)
-    diff = (diff.at[y0, x0].add(1.0, mode="drop")
-                .at[y0, x1].add(-1.0, mode="drop")
-                .at[y1, x0].add(-1.0, mode="drop")
-                .at[y1, x1].add(1.0, mode="drop"))
+    ty_iota = jax.lax.broadcasted_iota(jnp.int32, (N, tiles_y + 2), 1)
+    tx_iota = jax.lax.broadcasted_iota(jnp.int32, (N, tiles_x + 2), 1)
+    ey = ((ty_iota == y0[:, None]).astype(jnp.float32)
+          - (ty_iota == y1[:, None]).astype(jnp.float32))
+    ex = ((tx_iota == x0[:, None]).astype(jnp.float32)
+          - (tx_iota == x1[:, None]).astype(jnp.float32))
+    diff = jnp.einsum("ny,nx->yx", ey, ex,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     cover = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:tiles_y, :tiles_x]
     tcounts = cover.reshape(T)                       # (T,) f32, exact ints
 
@@ -472,14 +487,23 @@ def _finalize(key_e, gid_e, tcounts, total, overflow, gid_starts,
     total_padded = (padded_start[-1] + padded[-1].astype(jnp.int32))
 
     # --- dummy stream: n_dummy[t] entries keyed to the end of tile t ---
+    # Slot → tile via the same Pallas delta scan as the entry stream (a 1-D
+    # jnp.cumsum over the ~0.5M-slot pad region measured ~2.8 ms; the
+    # permuted one-pass scan is ~0.2 ms). The permuted slot order is
+    # harmless: dummy keys are per-tile constants and the fused-key sort
+    # re-orders everything anyway.
     d_off = (jnp.cumsum(n_dummy) - n_dummy).astype(jnp.int32)
     total_d = d_off[-1] + n_dummy[-1]
-    tile_d = _marker_cumsum(d_off, n_dummy, pad_cap)
-    dvalid = jnp.arange(pad_cap, dtype=jnp.int32) < total_d
+    fields_d = (jax.lax.iota(jnp.float32, T) + 1.0)[None, :]     # (1, T)
+    cums_d, iota_d = _delta_scan(fields_d, jnp.minimum(d_off, pad_cap),
+                                 pad_cap)
+    tile_d = (cums_d[0] - 1.0).astype(jnp.int32)
+    dvalid = iota_d < total_d.astype(jnp.float32)
     # Dummies own the reserved dq_max quantum, strictly after every real
     # entry of their tile — no tie, so the fast unstable sort is safe.
-    key_d = jnp.where(dvalid, jnp.clip(tile_d, 0, T - 1) * (1 << db) + dq_max,
-                      NULL_KEY)
+    key_d = jnp.where(dvalid,
+                      jnp.clip(tile_d, 0, T - 1) * (1 << db) + dq_max,
+                      NULL_KEY).reshape(pad_cap)
 
     keys = jnp.concatenate([key_e, key_d])
     gids = jnp.concatenate([gid_e, jnp.full((pad_cap,), N, jnp.int32)])

@@ -76,10 +76,10 @@ from msgs.kernels.preprocess import ALPHA_MAX, ALPHA_MIN, T_EPS, TILE
 NPIX = TILE * TILE     # 256 pixels per tile
 NFEAT = 12             # payload feature columns (11 used + pad)
 NOUT = 8               # output channels: r g b depth acc T done pad
-# GROUP pinned by the r3 bench A/B: 4 is no better, 16 OOMs the backward
-# kernel's VMEM stack; the saturated-tile skip stays on (it costs ~3% on the
-# semi-transparent bench scene but skips most of the entry stream on real
-# opaque scenes whose tiles carry hundreds-deep depth-sorted lists).
+# GROUP pinned by the bench A/B (r3): 4 and 16 measure no better than 8.
+# The saturated-tile skip stays on (it costs ~3% on the semi-transparent
+# bench scene but skips most of the entry stream on real opaque scenes
+# whose tiles carry hundreds-deep depth-sorted lists).
 GROUP = 8              # payload blocks / grid step
 _SKIP_SATURATED = True
 NSUB = BLOCK // SUB    # tile-aligned sub-blocks per payload block
