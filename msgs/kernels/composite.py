@@ -415,17 +415,9 @@ def _sub_states(ctx, accs, state_ref):
     return states
 
 
-def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
+def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, state_ref,
                 *, tiles_x: int, width: int, height: int):
     s = pl.program_id(0)
-
-    # contrib columns are grouped 128 sub-blocks per (SUB, 128) VMEM block;
-    # the buffer is zeroed at each 128-sub-block window and each sub-block
-    # accumulates its column through a one-hot lane mask (Mosaic forbids
-    # dynamic lane-index stores).
-    @pl.when(s % (128 // SPG) == 0)
-    def _():
-        contrib_ref[:, :] = jnp.zeros((SUB, 128), jnp.float32)
 
     for g in range(GROUP):
         b = s * GROUP + g
@@ -467,18 +459,10 @@ def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, contrib_ref, state_ref,
                             state_ref[O_T:O_T + 1, :],
                             state_ref[O_DONE:O_DONE + 1, :],
                             tiles_x, width, height)
-            wmax = jnp.max(ctx.w, axis=1, keepdims=True)   # (BLOCK, 1)
             accs = _sub_accs(ctx, feat, ctx.w)
             states = _sub_states(ctx, accs, state_ref)
-            delta = jnp.zeros((SUB, 128), jnp.float32)
             for k in range(NSUB):
-                sb = sb0 + k
-                rows = slice(k * SUB, (k + 1) * SUB)
-                oh = (jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-                      == sb % 128).astype(jnp.float32)
-                delta = delta + wmax[rows] * oh
                 out_ref[g * NSUB + k] = states[k]
-            contrib_ref[:, :] += delta
             state_ref[:] = states[NSUB - 1]
 
 
@@ -638,24 +622,19 @@ def _composite_fwd_call(payload, sub_tile, sub_valid, tile_last_sub,
         out_specs=[
             pl.BlockSpec((SPG, NOUT, NPIX), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, 128),
-                         lambda s, st, sv: (0, s // (128 // SPG)),
-                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((NOUT, NPIX), jnp.float32)],
     )
-    states, contrib = pl.pallas_call(
+    (states,) = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x, width=width,
                           height=height),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((s_cap, NOUT, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((SUB, s_cap), jnp.float32),
         ],
         interpret=_interpret(),
     )(sub_tile, sub_valid, payload)
-    tiles_out = states[jnp.clip(tile_last_sub, 0, s_cap - 1)]
-    return tiles_out, contrib
+    return states[jnp.clip(tile_last_sub, 0, s_cap - 1)]
 
 
 def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
@@ -711,15 +690,14 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def composite(payload, sub_tile, sub_valid, tile_last_sub, tiles: int,
               tiles_x: int, width: int, height: int,
-              image_only: bool = False
-              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              image_only: bool = False) -> jnp.ndarray:
     """Composite packed splat blocks into per-tile images.
 
     payload: (B_cap, BLOCK, NFEAT) f32 — blocked, depth-sorted, with every
     SUB-entry sub-block owned by exactly one tile.
     With `image_only`, depth/acc/T cotangents are treated as structurally
     zero in the backward pass (the reference's training grad contract).
-    Returns (tiles_out (T, NOUT, 256), contrib (SUB, S_cap)).
+    Returns tiles_out (T, NOUT, 256).
     """
     return _composite_fwd_call(payload, sub_tile, sub_valid,
                                tile_last_sub, tiles, tiles_x, width, height)
@@ -729,13 +707,12 @@ def _composite_fwd(payload, sub_tile, sub_valid, tile_last_sub, tiles,
                    tiles_x, width, height, image_only):
     out = _composite_fwd_call(payload, sub_tile, sub_valid,
                               tile_last_sub, tiles, tiles_x, width, height)
-    return out, (payload, sub_tile, sub_valid, out[0])
+    return out, (payload, sub_tile, sub_valid, out)
 
 
 def _composite_bwd(tiles, tiles_x, width, height, image_only, residuals,
-                   cotangents):
+                   g_tiles):
     payload, sub_tile, sub_valid, res = residuals
-    g_tiles, _g_contrib = cotangents
     dpay = _composite_bwd_call(payload, sub_tile, sub_valid, res,
                                g_tiles, tiles_x, width, height,
                                image_only=image_only)
@@ -751,8 +728,7 @@ composite.defvjp(_composite_fwd, _composite_bwd)
 
 def composite_reference(payload, sub_tile, sub_valid, tile_last_sub,
                         tiles: int, tiles_x: int, width: int, height: int,
-                        image_only: bool = False
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                        image_only: bool = False) -> jnp.ndarray:
     """Pure-jnp gold oracle: a `lax.scan` over sub-blocks sharing
     `_block_forward` with the Pallas kernel — identical arithmetic and
     early-out semantics, differentiable end-to-end via autodiff. The
@@ -776,9 +752,8 @@ def composite_reference(payload, sub_tile, sub_valid, tile_last_sub,
         live = (sv == 1).astype(jnp.float32)
         new_tile = tile_state + live * (new_tile - tile_state)
         state = state.at[st].set(new_tile)
-        contrib = jnp.max(w, axis=1) * live          # (SUB,)
-        return state, contrib
+        return state, None
 
-    state, contrib = jax.lax.scan(
+    state, _ = jax.lax.scan(
         step, state0, (payload_sub, sub_tile, sub_valid))
-    return state, contrib.T                          # (SUB, S_cap)
+    return state

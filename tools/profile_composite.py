@@ -86,12 +86,12 @@ def timeit(name, jfn, *a, n=10):
 
 
 def fwd(payload, st, sv, tls):
-    return comp.composite(payload, st, sv, tls, T, tiles_x, W, H, True)[0]
+    return comp.composite(payload, st, sv, tls, T, tiles_x, W, H, True)
 
 
 def fwdbwd(payload, st, sv, tls):
     def loss(p):
-        tiles_out, _ = comp.composite(p, st, sv, tls, T, tiles_x, W, H, True)
+        tiles_out = comp.composite(p, st, sv, tls, T, tiles_x, W, H, True)
         return jnp.sum(tiles_out[:, :3, :] ** 2)
     l, g = jax.value_and_grad(loss)(payload)
     return l, g
@@ -135,11 +135,11 @@ def run_variant(tag, repls, n=10):
 
         def vfwd(payload, st, sv, tls):
             return m.composite(payload, st, sv, tls, T, tiles_x, W, H,
-                               True)[0]
+                               True)
 
         def vfwdbwd(payload, st, sv, tls):
             def loss(p):
-                to, _ = m.composite(p, st, sv, tls, T, tiles_x, W, H, True)
+                to = m.composite(p, st, sv, tls, T, tiles_x, W, H, True)
                 return jnp.sum(to[:, :3, :] ** 2)
             return jax.value_and_grad(loss)(payload)
 

@@ -106,7 +106,7 @@ def main():
 
     def bwd_f(p, bt, bv, tlb):
         def g(p):
-            o, c = comp.composite(p, bt, bv, tlb, tiles, tiles_x, W, H)
+            o = comp.composite(p, bt, bv, tlb, tiles, tiles_x, W, H)
             return jnp.sum(o[:, :5])
         return jax.grad(g)(p)
     timeit("composite fwd+bwd", bwd_f, payload, binned.sub_tile,
