@@ -440,12 +440,21 @@ def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
     end_seg = e_off + w_eff
 
     # --- per-tile entry counts: per-segment x-interval difference sums ---
+    # Same MXU one-hot trick as the rect histogram: diffx[y, x] =
+    # Σ_seg 1[ty=y]·(1[x=txlo] − 1[x=txhi+1]) is one f32 matmul over
+    # indicator matrices (the R-row colliding scatter-add measured ~10 ms
+    # at R=786k; the matmul ~2 ms). Exact: products 0/±1, sums < 2^24.
     ty_i = jnp.where(w_eff > 0, ty, float(tiles_y + 0.0)).astype(jnp.int32)
     txlo_i = txlo.astype(jnp.int32)
     txhi_i = txhi.astype(jnp.int32)
-    diffx = jnp.zeros((tiles_y + 1, tiles_x + 1), jnp.float32)
-    diffx = (diffx.at[ty_i, txlo_i].add(1.0, mode="drop")
-                  .at[ty_i, txhi_i + 1].add(-1.0, mode="drop"))
+    ey_iota = jax.lax.broadcasted_iota(jnp.int32, (R, tiles_y + 1), 1)
+    ex_iota = jax.lax.broadcasted_iota(jnp.int32, (R, tiles_x + 1), 1)
+    ey_s = (ey_iota == ty_i[:, None]).astype(jnp.float32)
+    ex_s = ((ex_iota == txlo_i[:, None]).astype(jnp.float32)
+            - (ex_iota == (txhi_i + 1)[:, None]).astype(jnp.float32))
+    diffx = jnp.einsum("ny,nx->yx", ey_s, ex_s,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     tcounts = jnp.cumsum(diffx, axis=1)[:tiles_y, :tiles_x].reshape(T)
 
     # --- entry stream: same 5-field delta-scatter, division-free decode ---
