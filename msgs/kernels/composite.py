@@ -28,16 +28,15 @@ Work split between the VPU and the MXU:
   quadratic about the tile origin so the MXU could evaluate it as
   (coeffs @ pixel-basis) loses ~1e-4 of absolute precision to cancellation
   for tight splats (terms ~ conic·(TILE+radius)² ≫ |power|), which busts
-  the 1e-5 oracle-parity budget. Forward MXU use is limited to the
-  numerically safe contraction: per-sub feature accumulation
-  featsᵀ @ w (5×SUB×256).
-- The backward pass *is* MXU-friendly: per-entry geometry gradients are
-  one d_power @ Pᵀ matmul against the static local-pixel basis
-  P = [x², xy, y², x, y, 1] (gradient sums have no cancellation against a
-  near-zero true value at tight-splat scale), from which
-  d{conic, mean2D} follow by per-entry chain rules and d_opacity falls out
-  of the ones-row (d_op = d_f0/op). φ and the per-entry feature gradients
-  (colors/depth/psize) are per-sub matmuls against the cotangent rows.
+  the 1e-5 oracle-parity budget.
+- Backward geometry gradients are one d_power @ Pᵀ MXU matmul per block
+  against the static local-pixel basis P = [x², xy, y², x, y, 1] (gradient
+  sums have no cancellation against a near-zero true value at tight-splat
+  scale), from which d{conic, mean2D} follow by per-entry chain rules and
+  d_opacity falls out of the ones-row (d_op = d_f0/op). φ and the
+  per-entry feature gradients stay on the VPU (broadcast rows + lane
+  reductions): their per-sub matmul shapes are far too small to amortize
+  MXU dispatch (measured ~5 ms/pass at 1080p).
 
 Within a block the sequential front-to-back recurrence
     C += T·α·c ;  T *= (1−α)
@@ -62,7 +61,6 @@ per Gaussian with a gid sort + segmented reduction (rasterize._gather_payload).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
