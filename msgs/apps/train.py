@@ -457,13 +457,11 @@ def training(args):
                 eovf = int(jnp.max(jnp.stack(pending_exch_overflow)))
                 pending_exch_overflow.clear()
                 if eovf > 0:
-                    # The auto packet_cap (dist/shard.py) is 4·c_local /
-                    # n_stripes rounded to 128; double from the effective
-                    # value (the builder cache key includes packet_cap, so
-                    # the next step re-jits with the new bound).
+                    # Double from the builder's effective default (the
+                    # builder cache key includes packet_cap, so the next
+                    # step re-jits with the new bound).
                     n_g, n_t = args.mesh
-                    auto = max(128, -(-4 * (cfg.capacity // n_g)
-                                      // (n_g * n_t) // 128) * 128)
+                    auto = S.auto_packet_cap(cfg.capacity, n_g, n_t)
                     packet_cap = 2 * (packet_cap or auto)
                     print(f"[packet_cap] exchange overflow {eovf}; "
                           f"growing to {packet_cap}")

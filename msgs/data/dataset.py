@@ -69,8 +69,17 @@ class ViewInfo:
         w, h = self.resolution(scale)
         cpath = None
         if self.cache_dir:
-            cpath = os.path.join(self.cache_dir,
-                                 f"{self.image_name}_{w}x{h}.npy")
+            # Key on the image's path relative to its scene, not its
+            # basename: Blender scenes name frames train/r_0.png AND
+            # test/r_0.png — a basename key would collide the splits onto
+            # one cache file and silently serve train pixels as test GT.
+            # Path separators flatten to '_' so the cache dir stays flat
+            # (COLMAP image names may contain subdirectories).
+            rel = os.path.splitext(
+                os.path.relpath(self.image_path,
+                                os.path.dirname(self.cache_dir)))[0]
+            slug = rel.replace(os.sep, "_").replace("..", "up")
+            cpath = os.path.join(self.cache_dir, f"{slug}_{w}x{h}.npy")
             try:
                 if (os.path.exists(cpath) and os.path.getmtime(cpath)
                         >= os.path.getmtime(self.image_path)):
@@ -83,8 +92,12 @@ class ViewInfo:
         if cpath:
             try:
                 os.makedirs(self.cache_dir, exist_ok=True)
+                # np.save APPENDS '.npy' when given a bare filename — write
+                # through an opened handle so the tmp name is exact, then
+                # atomically publish (a failed mid-write never corrupts).
                 tmp = cpath + f".tmp{os.getpid()}"
-                np.save(tmp, arr)
+                with open(tmp, "wb") as f:
+                    np.save(f, arr)
                 os.replace(tmp, cpath)
             except Exception:
                 pass

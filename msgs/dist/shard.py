@@ -182,6 +182,17 @@ def padded_height(height: int, n_stripes: int) -> int:
     return -(-height // unit) * unit
 
 
+def auto_packet_cap(capacity: int, n_gauss: int, n_tile: int) -> int:
+    """Default per-(source, stripe) splat-packet capacity: 4× the mean
+    local load, rounded to 128. THE single definition — the trainer's
+    overflow-doubling path (apps/train.py) must grow from this same base,
+    or its 'growth' could re-jit to a bound ≤ the builder's effective one
+    and the overflow/discard loop would never converge."""
+    c_local = capacity // n_gauss
+    n_stripes = n_gauss * n_tile
+    return max(128, -(-4 * c_local // n_stripes // 128) * 128)
+
+
 def pad_gt(gt, height_padded: int):
     """Zero-pad a (H, W, 3) ground-truth image to the sharded render height
     (zero rows reproduce the reference SSIM's zero-pad conv at the bottom
@@ -239,7 +250,7 @@ def build_sharded_loss(mesh: Mesh, cfg: GaussianConfig,
     tiles_y_local = h_local // TILE
     c_local = cfg.capacity // n_gauss
     if packet_cap <= 0:
-        packet_cap = max(128, -(-4 * c_local // n_stripes // 128) * 128)
+        packet_cap = auto_packet_cap(cfg.capacity, n_gauss, n_tile)
 
     def loss_sm(params, side, probe, camera, gt_stripe):
         st = GaussianState(**params, **side)

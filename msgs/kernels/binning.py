@@ -80,9 +80,11 @@ class Binned(NamedTuple):
 
 def entry_capacity(entry_cap: int, tiles: int) -> int:
     """Total packed-entry capacity: duplicates + worst-case per-tile padding
-    (≤ SUB−1 dummies per tile), rounded to 128 blocks (the compositor's
-    per-entry contrib output is column-major (SUB, S_cap) with (SUB, 128)
-    VMEM blocks — Mosaic needs a 128-divisible trailing block dim)."""
+    (≤ SUB−1 dummies per tile), rounded up so the sub-block count divides
+    both the compositor's grid grouping (SPG subs per grid step) and the
+    128-sub alignment its call wrapper asserts; the 128·BLOCK rounding also
+    keeps the dummy region (E_cap − entry_cap) a multiple of the Pallas
+    scan tile, which the dummy-stream delta scan requires."""
     cap = _pad_ecap(entry_cap) + SUB * tiles + BLOCK
     group = 128 * BLOCK
     return ((cap + group - 1) // group) * group
@@ -135,6 +137,33 @@ def _delta_scan(fields, positions, entry_cap: int):
     return cums, iota_f
 
 
+_HIST_CHUNK = 1 << 18   # rows per indicator-matmul chunk (bounds transients)
+
+
+def _onehot_diff_histogram(ylo, yhi, xlo, xhi, ny: int, nx: int):
+    """Σ_n outer(1[y=ylo_n] − 1[y=yhi_n], 1[x=xlo_n] − 1[x=xhi_n]) as f32
+    indicator matmuls — the separable 2-D difference-histogram identity.
+    Exact (products 0/±1, sums < 2^24) and ~10× an equivalent colliding
+    scatter-add. Chunked over rows so the materialized indicator operands
+    stay ≤ _HIST_CHUNK·(ny+nx)·4 B regardless of Gaussian capacity (at
+    N=4M and a 1080p tile grid the unchunked form would transiently
+    allocate ~3 GB)."""
+    n = ylo.shape[0]
+    diff = jnp.zeros((ny, nx), jnp.float32)
+    for s in range(0, n, _HIST_CHUNK):
+        e = min(s + _HIST_CHUNK, n)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (e - s, ny), 1)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (e - s, nx), 1)
+        ey = ((yi == ylo[s:e, None]).astype(jnp.float32)
+              - (yi == yhi[s:e, None]).astype(jnp.float32))
+        ex = ((xi == xlo[s:e, None]).astype(jnp.float32)
+              - (xi == xhi[s:e, None]).astype(jnp.float32))
+        diff = diff + jnp.einsum("ny,nx->yx", ey, ex,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+    return diff
+
+
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                   entry_cap: int, row_tight: bool = None) -> Binned:
     if row_tight is None:
@@ -181,15 +210,7 @@ def _bin_gaussians_rect(pre: PreprocessOut, width: int, height: int,
     y1 = jnp.where(live, pre.rect_max[:, 1], tiles_y + 1)
     x0 = pre.rect_min[:, 0]
     x1 = pre.rect_max[:, 0]
-    ty_iota = jax.lax.broadcasted_iota(jnp.int32, (N, tiles_y + 2), 1)
-    tx_iota = jax.lax.broadcasted_iota(jnp.int32, (N, tiles_x + 2), 1)
-    ey = ((ty_iota == y0[:, None]).astype(jnp.float32)
-          - (ty_iota == y1[:, None]).astype(jnp.float32))
-    ex = ((tx_iota == x0[:, None]).astype(jnp.float32)
-          - (tx_iota == x1[:, None]).astype(jnp.float32))
-    diff = jnp.einsum("ny,nx->yx", ey, ex,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+    diff = _onehot_diff_histogram(y0, y1, x0, x1, tiles_y + 2, tiles_x + 2)
     cover = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:tiles_y, :tiles_x]
     tcounts = cover.reshape(T)                       # (T,) f32, exact ints
 
@@ -447,14 +468,11 @@ def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
     ty_i = jnp.where(w_eff > 0, ty, float(tiles_y + 0.0)).astype(jnp.int32)
     txlo_i = txlo.astype(jnp.int32)
     txhi_i = txhi.astype(jnp.int32)
-    ey_iota = jax.lax.broadcasted_iota(jnp.int32, (R, tiles_y + 1), 1)
-    ex_iota = jax.lax.broadcasted_iota(jnp.int32, (R, tiles_x + 1), 1)
-    ey_s = (ey_iota == ty_i[:, None]).astype(jnp.float32)
-    ex_s = ((ex_iota == txlo_i[:, None]).astype(jnp.float32)
-            - (ex_iota == (txhi_i + 1)[:, None]).astype(jnp.float32))
-    diffx = jnp.einsum("ny,nx->yx", ey_s, ex_s,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+    # Single y indicator per segment: yhi = tiles_y+1 is outside the iota
+    # range, so its one-hot is identically zero and only +1[y=ty] remains.
+    diffx = _onehot_diff_histogram(
+        ty_i, jnp.full_like(ty_i, tiles_y + 1), txlo_i, txhi_i + 1,
+        tiles_y + 1, tiles_x + 1)
     tcounts = jnp.cumsum(diffx, axis=1)[:tiles_y, :tiles_x].reshape(T)
 
     # --- entry stream: same 5-field delta-scatter, division-free decode ---

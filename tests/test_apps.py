@@ -212,3 +212,47 @@ def test_train_cli_mesh_sharded(synthetic_scene, tmp_path):
            open(os.path.join(out, "train_log.jsonl"))]
     evals = [r for r in log if "eval" in r]
     assert evals and np.isfinite(evals[-1]["eval"]["train_s1"]["psnr"])
+
+
+def test_pyramid_disk_cache_persists_and_separates_splits(tmp_path):
+    """The on-disk pyramid cache must (a) actually write cache files
+    (np.save appends '.npy' to bare filenames — regression: the tmp-file
+    rename never found its source and the cache silently no-op'd), and
+    (b) key on the split-relative path: Blender scenes name frames
+    train/r_0.png AND test/r_0.png — a basename key served train pixels
+    as test ground truth."""
+    import imageio.v2 as imageio
+    import json as _json
+
+    root = tmp_path / "scene"
+    (root / "train").mkdir(parents=True)
+    (root / "test").mkdir()
+    c2w = np.eye(4)
+    c2w[2, 3] = -4.0
+    frames = lambda split: {"camera_angle_x": 0.8, "frames": [
+        {"file_path": f"./{split}/r_0", "transform_matrix": c2w.tolist()}]}
+    imageio.imwrite(str(root / "train/r_0.png"),
+                    np.full((32, 32, 3), 10, np.uint8))
+    imageio.imwrite(str(root / "test/r_0.png"),
+                    np.full((32, 32, 3), 200, np.uint8))
+    for split in ("train", "test"):
+        with open(root / f"transforms_{split}.json", "w") as f:
+            _json.dump(frames(split), f)
+
+    from msgs.data.dataset import load_scene
+    scene = load_scene(str(root), eval_split=True)
+    tr = scene.train_views[0].image(1.0)
+    te = scene.test_views[0].image(1.0)
+    assert abs(float(tr.mean()) - 10 / 255) < 1e-3
+    assert abs(float(te.mean()) - 200 / 255) < 1e-3
+
+    cache = root / "msgs_cache"
+    files = sorted(os.listdir(cache)) if cache.exists() else []
+    assert len([f for f in files if f.endswith(".npy")]) >= 2, \
+        f"cache files missing: {files}"
+    assert not [f for f in files if ".tmp" in f], f"orphan tmps: {files}"
+
+    # Second load must serve from cache and keep the splits distinct.
+    scene2 = load_scene(str(root), eval_split=True)
+    assert abs(float(scene2.test_views[0].image(1.0).mean()) - 200 / 255) \
+        < 1e-3
