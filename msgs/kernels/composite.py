@@ -29,14 +29,15 @@ Work split between the VPU and the MXU:
   (coeffs @ pixel-basis) loses ~1e-4 of absolute precision to cancellation
   for tight splats (terms ~ conic·(TILE+radius)² ≫ |power|), which busts
   the 1e-5 oracle-parity budget.
-- Backward geometry gradients are one d_power @ Pᵀ MXU matmul per block
-  against the static local-pixel basis P = [x², xy, y², x, y, 1] (gradient
-  sums have no cancellation against a near-zero true value at tight-splat
-  scale), from which d{conic, mean2D} follow by per-entry chain rules and
-  d_opacity falls out of the ones-row (d_op = d_f0/op). φ and the
-  per-entry feature gradients stay on the VPU (broadcast rows + lane
-  reductions): their per-sub matmul shapes are far too small to amortize
-  MXU dispatch (measured ~5 ms/pass at 1080p).
+- Backward geometry gradients are the six pixel-monomial moments of
+  d_power ([x², xy, y², x, y, 1] weights) as VPU multiply + lane
+  reductions, from which d{conic, mean2D} follow by per-entry chain rules
+  and d_opacity falls out of the ones moment (d_op = d_q00/op). EVERY
+  in-kernel matmul was tried and measured slower (r3: per-sub φ/dfeat
+  matmuls too small to amortize dispatch, ~5 ms; r4: Mosaic f32 dots are
+  HIGHEST-only 6-pass — the per-block d_power @ basis contraction costs
+  +2.4 ms vs these reductions, and the full MXU-alpha formulation loses
+  outright, tools/exp_mxu.py / tools/exp_bwd2.py).
 
 Within a block the sequential front-to-back recurrence
     C += T·α·c ;  T *= (1−α)
@@ -96,16 +97,6 @@ O_R, O_G, O_B, O_DEPTH, O_ACC, O_T, O_DONE = 0, 1, 2, 3, 4, 5, 6
 # Backward per-block constant rows (pre-gathered by the caller):
 # [g_r, g_g, g_b, g_depth, g_acc, total_phi, t_final·g_T, pad]
 C_GR, C_GG, C_GB, C_GD, C_GA, C_TPHI, C_TFGT = 0, 1, 2, 3, 4, 5, 6
-
-# In-kernel contractions use only plain NN `jnp.dot` — the one dot_general
-# form Mosaic supports unconditionally; anything needing a transposed
-# operand gets that operand pre-transposed outside the kernel (the static
-# pixel basis, the per-tile cotangent table).
-
-
-def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
-
 
 def _pixel_coords(tile_id, tiles_x: int):
     """Per-tile pixel centers as (1, NPIX) rows (row-major within tile)."""
@@ -262,18 +253,6 @@ def _local_pix():
     p = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
     return ((p % TILE).astype(jnp.float32),
             (p // TILE).astype(jnp.float32))
-
-
-def _local_basis_t():
-    """Static (NPIX, 8) tile-local pixel monomial basis [x², xy, y², x, y, 1]
-    (plus two zero pad columns), pre-transposed so the backward geometry
-    gradient is a plain NN matmul `d_power @ basis`."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
-    x = (p % TILE).astype(jnp.float32)
-    y = (p // TILE).astype(jnp.float32)
-    return jnp.concatenate(
-        [x * x, x * y, y * y, x, y, jnp.ones((NPIX, 1), jnp.float32),
-         jnp.zeros((NPIX, 2), jnp.float32)], axis=1)
 
 
 def _sub_cols(vals):
@@ -471,9 +450,6 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
     dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
     s = pl.program_id(0)
     nf_phi = 3 if image_only else 5                # r g b (depth psize)
-    basis = _local_basis_t()                       # (NPIX, 8) static
-
-    dpay_ref[...] = jnp.zeros((GROUP, BLOCK, NFEAT), jnp.float32)
 
     for g in range(GROUP):
         b = s * GROUP + g
@@ -484,8 +460,8 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
         compute = sv_ref[sb0] == 1
 
         # Same saturated-tile skip as the forward kernel: alive ≡ 0 ⇒ all
-        # gradients of this block are zero (dpay is pre-zeroed) and the
-        # carried (t, done, wφ-prefix) scratch is unchanged.
+        # gradients of this block are zero and the carried (t, done,
+        # wφ-prefix) scratch is unchanged.
         same_tile = nf
         for k in range(NSUB):
             same_tile = jnp.logical_and(same_tile, tids[k] == prev)
@@ -496,6 +472,13 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
                 jnp.logical_not(jnp.logical_and(same_tile, saturated)))
         else:
             live = compute
+
+        # Zero only dead blocks (live ones overwrite every column): the
+        # unconditional pre-zero double-wrote the whole dpay stream
+        # (measured −1.0 ms at bench shapes, tools/exp_bwd3.py).
+        @pl.when(jnp.logical_not(live))
+        def _():
+            dpay_ref[g] = jnp.zeros((BLOCK, NFEAT), jnp.float32)
 
         @pl.when(live)
         def _():
@@ -511,18 +494,24 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             # φ and per-entry feature grads on the VPU: per-sub MXU matmuls
             # here are (32×nf)·(nf×256) — far too small to amortize dispatch
             # (8 tiny matmuls per block ≈ 115k dispatches per pass, measured
-            # several ms of pure launch latency). Instead each sub's constant
-            # cotangent row is broadcast to block width once and φ / dfeat
-            # come from nf broadcast-FMAs + nf lane reductions.
-            g_rows = [
-                _sub_rows([csts[k][C_GR + c:C_GR + c + 1, :]
-                           for k in range(NSUB)])  # (BLOCK, NPIX)
-                for c in range(nf_phi)]
-            phi = g_rows[0] * feat[:, F_R:F_R + 1]
-            for c in range(1, nf_phi):
-                phi = phi + g_rows[c] * feat[:, F_R + c:F_R + c + 1]
-            dfeat_cols = [jnp.sum(w * g_rows[c], axis=1, keepdims=True)
-                          for c in range(nf_phi)]  # nf × (BLOCK, 1)
+            # several ms of pure launch latency). Each sub's constant
+            # cotangent rows stay (1, NPIX) and broadcast implicitly in the
+            # per-sub arithmetic — materializing them to block width first
+            # measured ~0.6 ms slower (tools/exp_bwd3.py `nogrows`).
+            phi_subs, df_subs = [], []
+            for k in range(NSUB):
+                rows = slice(k * SUB, (k + 1) * SUB)
+                pk = csts[k][C_GR:C_GR + 1, :] * feat[rows, F_R:F_R + 1]
+                for c in range(1, nf_phi):
+                    pk = pk + csts[k][C_GR + c:C_GR + c + 1, :] * \
+                        feat[rows, F_R + c:F_R + c + 1]
+                phi_subs.append(pk)
+                df_subs.append(jnp.stack(
+                    [jnp.sum(w[rows] * csts[k][C_GR + c:C_GR + c + 1, :],
+                             axis=1) for c in range(nf_phi)],
+                    axis=1))                       # (SUB, nf)
+            phi = jnp.concatenate(phi_subs, axis=0)
+            dfeat = jnp.concatenate(df_subs, axis=0)   # (BLOCK, nf)
 
             # Per-run wφ prefix: static per-sub scans + scalar carries +
             # the carried-run scratch offset.
@@ -543,15 +532,21 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             unclamped = (ctx.alpha_raw < ALPHA_MAX).astype(jnp.float32)
             d_power = d_alpha * ctx.alpha * unclamped
 
-            # Geometry gradients: one MXU contraction against the static
-            # local-pixel basis, then per-entry chain rules.
-            dcoef = _dot(d_power, basis)           # (BLOCK, 8), cols 6-7 pad
-            d_q20 = dcoef[:, 0:1]                  # Σ d_power·x²
-            d_q11 = dcoef[:, 1:2]                  # Σ d_power·xy
-            d_q02 = dcoef[:, 2:3]                  # Σ d_power·y²
-            d_q10 = dcoef[:, 3:4]                  # Σ d_power·x
-            d_q01 = dcoef[:, 4:5]                  # Σ d_power·y
-            d_q00 = dcoef[:, 5:6]                  # Σ d_power
+            # Geometry gradients: the six pixel-monomial moments of d_power
+            # as VPU multiply + lane reductions, then per-entry chain rules.
+            # (The r3 design contracted d_power against a static (NPIX, 8)
+            # basis on the MXU; under the package's HIGHEST default that
+            # matmul runs 6-pass f32 and measures ~2.4 ms SLOWER per pass
+            # than these reductions — tools/exp_bwd2.py, round 4.)
+            pxl_r, pyl_r = _local_pix()            # (1, NPIX)
+            dp_x = d_power * pxl_r
+            dp_y = d_power * pyl_r
+            d_q20 = jnp.sum(dp_x * pxl_r, axis=1, keepdims=True)
+            d_q11 = jnp.sum(dp_x * pyl_r, axis=1, keepdims=True)
+            d_q02 = jnp.sum(dp_y * pyl_r, axis=1, keepdims=True)
+            d_q10 = jnp.sum(dp_x, axis=1, keepdims=True)
+            d_q01 = jnp.sum(dp_y, axis=1, keepdims=True)
+            d_q00 = jnp.sum(d_power, axis=1, keepdims=True)
             mxl, myl = ctx.mxl, ctx.myl
             cxx, cxy, cyy = ctx.cxx, ctx.cxy, ctx.cyy
             # power = −½cxx(x−mxl)² − ½cyy(y−myl)² − cxy(x−mxl)(y−myl):
@@ -575,7 +570,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             dpay_ref[g, :, F_CYY] = d_cyy[:, 0]
             dpay_ref[g, :, F_OP] = d_op[:, 0]
             for i in range(nf_phi):
-                dpay_ref[g, :, F_R + i] = dfeat_cols[i][:, 0]
+                dpay_ref[g, :, F_R + i] = dfeat[:, i]
 
             # Advance the per-tile scratch exactly as the forward pass
             # does, but branch-free and only to the block's final state
