@@ -49,6 +49,9 @@ def build_parser():
     p.add_argument("--grow_large", action="store_true")
     p.add_argument("--insert_large", action="store_true")
     p.add_argument("--fade_size", type=float, default=0.0)
+    p.add_argument("--fade_ungated", action="store_true",
+                   help="filter_small keys on current footprint alone "
+                        "(semantics probe, see BASELINE.md)")
     p.add_argument("--ms_from_iter", type=int, default=1,
                    help="iteration from which MS sampling and occ/dc LRs "
                         "activate (reference train.py:62,153,197-198)")
@@ -190,6 +193,7 @@ def training(args):
                          capacity=capacity)
     settings = RasterSettings(filter_small=args.filter_small,
                               filter_large=filter_large,
+                              fade_ungated=args.fade_ungated,
                               entry_cap=args.entry_cap,
                               backend=args.backend,
                               image_grads_only=True)

@@ -158,6 +158,7 @@ def preprocess(
     # --- MS-GS extensions ---
     filter_small: bool = False,
     filter_large: bool = False,
+    fade_ungated: bool = False,
     fade_size: float = 0.0,
     max_pixel_sizes: Optional[jnp.ndarray] = None,
     min_pixel_sizes: Optional[jnp.ndarray] = None,
@@ -276,7 +277,12 @@ def preprocess(
         # stats into the kernel for exactly this test); rows never resolved
         # anywhere (record −1 or sub-pixel) keep rendering so genuinely fine
         # detail is not suppressed at its only usable scale.
-        if max_pixel_sizes is not None:
+        # `fade_ungated` probes the alternative reading of the unrecoverable
+        # CUDA test (fade on the current footprint alone, no recorded-max
+        # gate) — BASELINE.md "filter_small semantics", round-4 experiment.
+        if fade_ungated:
+            applies = jnp.ones((N,), bool)
+        elif max_pixel_sizes is not None:
             applies = max_pixel_sizes >= 1.0
         else:
             applies = jnp.zeros((N,), bool)

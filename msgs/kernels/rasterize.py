@@ -45,6 +45,12 @@ class RasterSettings(NamedTuple):
     # Row-tight binning (per-tile-row ellipse spans) vs full-rect emission;
     # see binning._bin_gaussians_rowtight. None → binning.ROW_TIGHT_DEFAULT.
     row_tight: bool = None
+    # filter_small semantics probe (BASELINE.md "filter_small semantics"):
+    # when True, the sub-pixel fade keys on the CURRENT footprint alone,
+    # ignoring the recorded max_pixel_sizes gate — the alternative reading
+    # of the unrecoverable CUDA test (gaussian_renderer/__init__.py:50-52).
+    # Default False = the recorded-max reconstruction.
+    fade_ungated: bool = False
 
 
 class RenderOutput(NamedTuple):
@@ -285,6 +291,7 @@ def rasterize(
         active_sh_degree=active_sh_degree, scale_modifier=scale_modifier,
         live_mask=live_mask, means2d_probe=means2d_probe,
         filter_small=settings.filter_small, filter_large=settings.filter_large,
+        fade_ungated=settings.fade_ungated,
         fade_size=fade_size, max_pixel_sizes=max_pixel_sizes,
         min_pixel_sizes=min_pixel_sizes, base_mask=base_mask,
         occ_multiplier=occ_multiplier, dc_delta=dc_delta, reso_lvl=reso_lvl)

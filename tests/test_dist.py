@@ -84,3 +84,68 @@ def test_sharded_matches_single(setup, lambda_dssim):
     # Side outputs.
     assert bool(jnp.any(aux.contributed))
     assert int(aux.overflow) == 0
+
+
+def test_packet_cap_growth_converges(setup):
+    """The trainer's exchange-overflow recovery loop (apps/train.py
+    packet_cap doubling): a deliberately undersized packet_cap must (a)
+    report exch_overflow > 0, (b) leave the state bit-identical (the
+    in-jit discard guard, dist/shard.py), and (c) after doubling until the
+    overflow clears, produce the same step as an un-truncated run —
+    VERDICT r3 item 5 (the growth path was never exercised end-to-end)."""
+    from msgs.dist.mesh import make_mesh
+    from msgs.dist.shard import (build_sharded_train_step, fetch_train_state,
+                                 shard_train_state)
+    from msgs.train.loop import init_train_state
+    from msgs.train.optimizer import OptimParams
+
+    cfg, st, cam, gt = setup
+    mesh = make_mesh(n_gauss=2, n_tile=4)
+    settings = RasterSettings(backend="pallas", entry_cap=1 << 12)
+    op = OptimParams()
+    gt_sh = jax.device_put(gt, NamedSharding(mesh, P((GAUSS_AXIS,
+                                                      TILE_AXIS))))
+    state0 = shard_train_state(init_train_state(st), mesh, CAP)
+
+    def run(packet_cap):
+        step = build_sharded_train_step(
+            mesh, cfg, op, settings, H, W, spatial_lr_scale=1.0,
+            packet_cap=packet_cap)
+        return step(state0, cam, gt_sh)
+
+    # Un-truncated control (every source shard's full capacity fits).
+    s_big, m_big = run(CAP)
+    assert int(m_big["exch_overflow"]) == 0
+
+    # The trainer's sequence: undersized cap -> discarded step -> double ->
+    # re-jit -> retry.
+    pc = 4
+    overflowed = 0
+    while True:
+        s_new, m = run(pc)
+        if int(m["exch_overflow"]) == 0:
+            break
+        overflowed += 1
+        # Discard guard: the overflowing step must not move the model.
+        g_new = fetch_train_state(s_new).gaussians
+        g_old = fetch_train_state(state0).gaussians
+        for a, b in zip(jax.tree_util.tree_leaves(g_new),
+                        jax.tree_util.tree_leaves(g_old)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        pc *= 2
+        assert pc <= 4 * CAP, "packet_cap growth did not converge"
+    assert overflowed >= 1, "undersized packet_cap never overflowed"
+
+    # Post-growth step == un-truncated step.
+    np.testing.assert_allclose(float(m["loss"]), float(m_big["loss"]),
+                               rtol=1e-6)
+    ga = fetch_train_state(s_new).gaussians
+    gb = fetch_train_state(s_big).gaussians
+    for a, b in zip(jax.tree_util.tree_leaves(ga),
+                    jax.tree_util.tree_leaves(gb)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            scale = max(np.abs(a).max(), 1e-8)
+            np.testing.assert_allclose(b, a, atol=1e-5 * scale)
+        else:
+            np.testing.assert_array_equal(a, b)
