@@ -21,11 +21,11 @@ A100_BASELINE_PIX_S = 138e6   # ~15 ms fwd+bwd @ 1080p (documented estimate)
 
 W, H = 1920, 1080
 N = 100_000
-# ~1.44M real entries at this workload; 1.5M + the binner's per-tile padding
-# keeps ~10% headroom without paying sort/composite time for dead capacity
-# (the trainer sizes its cap the same way: measured load + margin, grown on
-# overflow).
-ENTRY_CAP = 1_572_864
+# ~1.29M real entries at this workload under the banded emission default
+# (1.44M under plain rects); cap = load + ~10% headroom so sort/composite
+# time isn't paid for dead capacity (the trainer sizes its cap the same
+# way: measured load + margin, grown on overflow).
+ENTRY_CAP = 1_417_216
 
 
 def _probe_device(timeout_s: int = 180) -> bool:

@@ -50,13 +50,15 @@ SUB = 32     # tile-alignment granularity: entries per compositor sub-block
 # kernel (msgs/kernels/scan.py) — measured faster than the XLA cumsum
 # cascade (bench A/B r3: 75.3 vs 76.1 ms; the losing branch is deleted).
 
-# Row-tight emission default: emit per-tile-row ellipse spans instead of
-# full rects (~π/4 of the entries for isotropic splats, far less for
-# elongated ones). Coverage is a margin-guarded superset of the α ≥ 1/255
-# pixel set (see _bin_gaussians_rowtight), so rendered images match the
-# rect path; only dead entries drop. `bin_gaussians(..., row_tight=...)`
-# dispatches per call so both paths stay testable in-process.
-ROW_TIGHT_DEFAULT = False
+# Emission-path default: "bands" emits per-Gaussian 3-band x-spans (the
+# rect split into top/middle/bottom row bands, each with the exact ellipse
+# x-extent over its band — ~13% fewer entries than full rects at bench
+# shapes for 3 extra integer delta-scan planes). True = the legacy per-row
+# row-tight path (maximal entry savings but R-row scatters bury it on TPU
+# — PERF_NOTES "Measured dead ends"); False = plain rects. All three are
+# margin-guarded supersets of the α ≥ 1/255 pixel set, so rendered images
+# match; `bin_gaussians(..., row_tight=...)` dispatches per call.
+ROW_TIGHT_DEFAULT = "bands"
 
 
 def _pad_ecap(entry_cap: int) -> int:
@@ -165,9 +167,17 @@ def _onehot_diff_histogram(ylo, yhi, xlo, xhi, ny: int, nx: int):
 
 
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
-                  entry_cap: int, row_tight: bool = None) -> Binned:
+                  entry_cap: int, row_tight=None) -> Binned:
     if row_tight is None:
         row_tight = ROW_TIGHT_DEFAULT
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    if row_tight == "bands":
+        # The packed band descriptors budget 8 bits per count; beyond a
+        # 255-tile axis (> 4080 px) fall back to plain rects.
+        if tiles_x <= 255 and tiles_y <= 255:
+            return _bin_gaussians_banded(pre, width, height, entry_cap)
+        return _bin_gaussians_rect(pre, width, height, entry_cap)
     if row_tight:
         return _bin_gaussians_rowtight(pre, width, height, entry_cap)
     return _bin_gaussians_rect(pre, width, height, entry_cap)
@@ -293,6 +303,219 @@ def _bin_gaussians_rect(pre: PreprocessOut, width: int, height: int,
                      T, E_cap, pad_cap, db, N)
 
 
+def _inflated_k2(opacities):
+    """α ≥ 1/255 level set, inflated to cover the compositor's own f32
+    error in evaluating `power` plus the span formula's cancellation (same
+    budget as the row-tight path — see _bin_gaussians_rowtight)."""
+    op = jnp.maximum(opacities, 1e-12)
+    return 2.0 * jnp.log(op / ALPHA_MIN) * (1.0 + 1e-4) + 1e-3
+
+
+def _band_span(a, b, c, det_s, k2p, dy_lo, dy_hi, ymax):
+    """Exact x-extent (pixels, relative to the mean) of the ellipse
+    dᵀΣ⁻¹d ≤ k² over the row band dy ∈ [dy_lo, dy_hi], with the magnitude-
+    scaled roundoff margin. The + branch of dx(dy) is concave (− convex),
+    so each extreme sits at the clipped critical point dy* = ∓b·√(k²/(det·c)).
+    Returns (dxlo, dxhi, nonempty)."""
+    a_s = jnp.maximum(a, 1e-12)
+    lo_b = jnp.maximum(dy_lo, -ymax)
+    hi_b = jnp.minimum(dy_hi, ymax)
+    dystar = -b * jnp.sqrt(k2p / (det_s * jnp.maximum(c, 1e-12)))
+
+    def _ext(dyc):
+        s2 = jnp.maximum(a * k2p - det_s * dyc * dyc, 0.0)
+        return -b * dyc / a_s, jnp.sqrt(s2) / a_s
+
+    lin_hi, rad_hi = _ext(jnp.clip(dystar, lo_b, hi_b))
+    lin_lo, rad_lo = _ext(jnp.clip(-dystar, lo_b, hi_b))
+    m_hi = 1e-2 + 4e-6 * (jnp.abs(lin_hi) + rad_hi)
+    m_lo = 1e-2 + 4e-6 * (jnp.abs(lin_lo) + rad_lo)
+    return lin_lo - rad_lo - m_lo, lin_hi + rad_hi + m_hi, hi_b >= lo_b
+
+
+def _bin_gaussians_banded(pre: PreprocessOut, width: int, height: int,
+                          entry_cap: int) -> Binned:
+    """Banded emission: each Gaussian's tile rect splits into ≤3 row bands
+    (top quarter / middle half / bottom quarter of its rows), each emitted
+    at the exact ellipse x-extent over that band — a superset of every
+    α-surviving pixel (same margin discipline as the row-tight path), at
+    rect-path cost: the band geometry is three integer fields packed into
+    3 extra delta-scan planes (N-row scatters, no R-row segment stream),
+    and the per-entry decode is division-free band selection + the rect
+    path's exact-f32 row/col division. ~13% fewer entries than rects at
+    bench shapes (row-tight's per-row spans would give ~19%, but its
+    segment materialization costs ~40 ms in XLA scatters — PERF_NOTES).
+
+    Reference contract unchanged (SURVEY §2.3 step 2: duplicate per
+    touched tile, depth-sorted within tile)."""
+    tiles_x = (width + TILE - 1) // TILE
+    tiles_y = (height + TILE - 1) // TILE
+    T = tiles_x * tiles_y
+    N = pre.depths.shape[0]
+    E_cap = entry_capacity(entry_cap, T)
+    entry_cap = _pad_ecap(entry_cap)
+    B_cap = E_cap // BLOCK
+    pad_cap = E_cap - entry_cap
+    db = _depth_bits(T)
+    NULL_KEY = jnp.int32(2**31 - 1)
+
+    rect_w = jnp.maximum(pre.rect_max[:, 0] - pre.rect_min[:, 0], 0)
+    rect_h = jnp.maximum(pre.rect_max[:, 1] - pre.rect_min[:, 1], 0)
+    live0 = pre.visible & (rect_w > 0) & (rect_h > 0)
+
+    # --- band geometry (per Gaussian, exact ints + f32 span math) ---
+    q1 = rect_h // 4                       # band rows: [0,q1) [q1,q2) [q2,h)
+    q2 = rect_h - q1
+    mx, my = pre.means2d[:, 0], pre.means2d[:, 1]
+    a, b, c = pre.conics[:, 0], pre.conics[:, 1], pre.conics[:, 2]
+    # Culled rows may carry non-finite projections; they emit nothing, but
+    # NaN reaching any delta-scan field poisons the telescoping prefix.
+    mx = jnp.where(live0, mx, 0.0)
+    my = jnp.where(live0, my, 0.0)
+    a = jnp.where(live0, a, 1.0)
+    b = jnp.where(live0, b, 0.0)
+    c = jnp.where(live0, c, 1.0)
+    k2p = jnp.maximum(jnp.where(live0, _inflated_k2(pre.opacities), 1.0), 0.0)
+    det = a * c - b * b
+    degen = det <= 1e-12
+    det_s = jnp.maximum(det, 1e-12)
+    ymax = jnp.sqrt(k2p * jnp.maximum(a, 0.0) / det_s)
+
+    rminx_f = pre.rect_min[:, 0].astype(jnp.float32)
+    rmaxx_f = pre.rect_max[:, 0].astype(jnp.float32)
+    rminy_f = pre.rect_min[:, 1].astype(jnp.float32)
+
+    def band_cols(qa, qb):
+        """(txlo, txhi, w) for rows [qa, qb) — full rect width on any
+        degenerate / empty-band fallback (a safe superset)."""
+        dy_lo = (rminy_f + qa.astype(jnp.float32)) * TILE - my
+        dy_hi = (rminy_f + qb.astype(jnp.float32)) * TILE - 1.0 - my
+        dxlo, dxhi, nonempty = _band_span(a, b, c, det_s, k2p,
+                                          dy_lo, dy_hi, ymax)
+        ok = nonempty & ~degen
+        txlo = jnp.clip(jnp.floor((mx + dxlo) / TILE), rminx_f, rmaxx_f - 1.0)
+        txhi = jnp.clip(jnp.floor((mx + dxhi) / TILE), rminx_f, rmaxx_f - 1.0)
+        txlo = jnp.where(ok, txlo, rminx_f)
+        txhi = jnp.where(ok, txhi, rmaxx_f - 1.0)
+        w = jnp.maximum(txhi - txlo + 1.0, 0.0)
+        empty = qb <= qa
+        return (jnp.where(empty, rminx_f, txlo),
+                jnp.where(empty, 0.0, w))
+
+    zero = jnp.zeros_like(rect_h)
+    txlo1, w1 = band_cols(zero, q1)
+    txlo2, w2 = band_cols(q1, q2)
+    txlo3, w3 = band_cols(q2, rect_h)
+    h1 = q1
+    h2 = q2 - q1
+    h3 = rect_h - q2
+    l1 = txlo1 - rminx_f
+    l2 = txlo2 - rminx_f
+    l3 = txlo3 - rminx_f
+
+    counts = jnp.where(
+        live0,
+        (h1.astype(jnp.float32) * w1 + h2.astype(jnp.float32) * w2
+         + h3.astype(jnp.float32) * w3),
+        0.0).astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1]
+    overflow = jnp.maximum(total - entry_cap, 0)
+    kept = counts * (offsets + counts <= entry_cap)
+    live = kept > 0
+
+    # --- per-tile entry counts: one band = one y×x interval product, so
+    # the rect path's separable one-hot difference histogram applies per
+    # band; the three diffs accumulate before the single 2-D prefix ---
+    def band_hist(qa, qb, txlo, w):
+        y0 = jnp.where(live & (w > 0),
+                       pre.rect_min[:, 1] + qa, tiles_y + 1)
+        y1 = jnp.where(live & (w > 0),
+                       pre.rect_min[:, 1] + qb, tiles_y + 1)
+        x0 = txlo.astype(jnp.int32)
+        x1 = (txlo + w).astype(jnp.int32)
+        return _onehot_diff_histogram(y0, y1, x0, x1,
+                                      tiles_y + 2, tiles_x + 2)
+
+    diff = (band_hist(zero, q1, txlo1, w1)
+            + band_hist(q1, q2, txlo2, w2)
+            + band_hist(q2, rect_h, txlo3, w3))
+    cover = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:tiles_y, :tiles_x]
+    tcounts = cover.reshape(T)
+
+    # --- entry stream: 8 delta-scan planes, division-free band select +
+    # the rect path's exact-f32 row/col division within the band ---
+    xb = max(int(tiles_x).bit_length(), 1)
+    yb = max(int(tiles_y).bit_length(), 1)
+    dqb = min(db, 23)
+    assert xb + yb <= 24
+
+    dmin = jnp.min(jnp.where(pre.visible, pre.depths, jnp.inf))
+    dmax = jnp.max(jnp.where(pre.visible, pre.depths, -jnp.inf))
+    dspan = jnp.maximum(dmax - dmin, 1e-9)
+    dq_g = jnp.floor(jnp.clip((pre.depths - dmin) / dspan * (2.0**dqb - 2.0),
+                              0.0, 2.0**dqb - 2.0))
+    dq_g = jnp.where(live0, dq_g, 0.0)
+    f1, f256, f64k = 1.0, 256.0, 65536.0
+    fields = jnp.stack([
+        jax.lax.iota(jnp.float32, N) + 1.0,
+        offsets.astype(jnp.float32),
+        (offsets + kept).astype(jnp.float32),
+        (pre.rect_min[:, 1] * (1 << xb) + pre.rect_min[:, 0]
+         ).astype(jnp.float32),
+        dq_g,
+        h1.astype(jnp.float32) * f1 + h2.astype(jnp.float32) * f256,
+        w1 * f1 + w2 * f256 + w3 * f64k,
+        l1 * f1 + l2 * f256 + l3 * f64k,
+    ], axis=0)                                       # (8, N), all < 2^24
+    cums, iota_f = _delta_scan(fields, offsets, entry_cap)
+    gid = (cums[0] - 1.0).astype(jnp.int32)
+    off_f, end_f, rm_f, dq_e = cums[1], cums[2], cums[3], cums[4]
+    hh_f, ww_f, ll_f = cums[5], cums[6], cums[7]
+    valid = iota_f < end_f
+
+    rminy_e = jnp.floor(rm_f * (0.5**xb))
+    rminx_e = rm_f - rminy_e * (1 << xb)
+    h2f = jnp.floor(hh_f * (1.0 / f256))
+    h1f = hh_f - h2f * f256
+    w3f = jnp.floor(ww_f * (1.0 / f64k))
+    ww_r = ww_f - w3f * f64k
+    w2f = jnp.floor(ww_r * (1.0 / f256))
+    w1f = ww_r - w2f * f256
+    l3f = jnp.floor(ll_f * (1.0 / f64k))
+    ll_r = ll_f - l3f * f64k
+    l2f = jnp.floor(ll_r * (1.0 / f256))
+    l1f = ll_r - l2f * f256
+
+    slot = iota_f - off_f
+    A1 = h1f * w1f
+    A2 = h2f * w2f
+    in2 = (slot >= A1).astype(jnp.float32)
+    in3 = (slot >= A1 + A2).astype(jnp.float32)
+    u = slot - in2 * A1 - in3 * A2
+    wk = jnp.maximum(w1f + in2 * (w2f - w1f) + in3 * (w3f - w2f), 1.0)
+    lk = l1f + in2 * (l2f - l1f) + in3 * (l3f - l2f)
+    qb0 = in2 * h1f + in3 * h2f
+    q = jnp.floor(u / wk)
+    r = u - q * wk
+    q = (q - (r < 0.0).astype(jnp.float32) + (r >= wk).astype(jnp.float32))
+    r = u - q * wk
+    ty = rminy_e + qb0 + q
+    tx = rminx_e + lk + r
+    tile_e = (ty * tiles_x + tx).astype(jnp.int32)
+
+    key_e = jnp.where(
+        valid,
+        tile_e * (1 << db) + (dq_e.astype(jnp.int32) << (db - dqb)),
+        NULL_KEY).reshape(entry_cap)
+    gid_e = jnp.where(valid, gid, N).reshape(entry_cap)
+
+    gid_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(kept).astype(jnp.int32)])
+    return _finalize(key_e, gid_e, tcounts, total, overflow, gid_starts,
+                     T, E_cap, pad_cap, db, N)
+
+
 def seg_capacity(entry_cap: int) -> int:
     """Static row-segment capacity for the row-tight path. Segments are one
     per (Gaussian, touched tile-row); every nonempty row emits ≥1 entry, so
@@ -360,11 +583,10 @@ def _bin_gaussians_rowtight(pre: PreprocessOut, width: int, height: int,
     valid_seg = jnp.arange(R, dtype=jnp.int32) < total_kept_rows
 
     # Per-Gaussian constants, ONE row gather into the segment stream.
-    op = jnp.maximum(pre.opacities, 1e-12)
     # Inflated level set: covers the compositor's f32 `power` evaluation
     # error AND this path's radicand cancellation (ADVICE r2: a fixed 1e-2px
     # margin alone is not sound near tangent rows for large faint splats).
-    k2 = 2.0 * jnp.log(op / ALPHA_MIN) * (1.0 + 1e-4) + 1e-3
+    k2 = _inflated_k2(pre.opacities)
     dqb = min(db, 23)
     dmin = jnp.min(jnp.where(pre.visible, pre.depths, jnp.inf))
     dmax = jnp.max(jnp.where(pre.visible, pre.depths, -jnp.inf))

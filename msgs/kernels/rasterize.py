@@ -42,9 +42,16 @@ class RasterSettings(NamedTuple):
     # (2 fewer sort operands, fewer kernel passes). Leave False to
     # differentiate every output.
     image_grads_only: bool = False
-    # Row-tight binning (per-tile-row ellipse spans) vs full-rect emission;
-    # see binning._bin_gaussians_rowtight. None → binning.ROW_TIGHT_DEFAULT.
-    row_tight: bool = None
+    # Emission path: None → binning.ROW_TIGHT_DEFAULT ("bands" — 3-band
+    # x-spans per rect); False → plain rects; True → legacy per-row
+    # row-tight (maximal entry savings, XLA-scatter-bound — PERF_NOTES).
+    row_tight: object = None
+    # Pack pairs of gradient columns into uint32 (two bf16 halves) for the
+    # gather-VJP's gid sort — ~half the sort operands for ~2^-8-relative
+    # noise on per-entry gradient contributions (summed in f32). Training-
+    # benign (stochastic-gradient scale) but outside the strict parity
+    # budget: off by default, enabled by the trainer and the bench.
+    grad_pack_bf16: bool = False
     # filter_small semantics probe (BASELINE.md "filter_small semantics"):
     # when True, the sub-pixel fade keys on the CURRENT footprint alone,
     # ignoring the recorded max_pixel_sizes gate — the alternative reading
@@ -138,8 +145,36 @@ def _sort_by_gid(gid, values):
     return jnp.stack(ops[1:], axis=1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _gather_payload(table, gid, gid_starts, image_only: bool = False):
+def _pack_bf16_pairs(cols):
+    """k f32 columns → ceil(k/2) uint32 columns of two bf16 halves."""
+    outs = []
+    for i in range(0, len(cols), 2):
+        a = jax.lax.bitcast_convert_type(
+            cols[i].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        if i + 1 < len(cols):
+            b = jax.lax.bitcast_convert_type(
+                cols[i + 1].astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+        else:
+            b = jnp.zeros_like(a)
+        outs.append((a << 16) | b)
+    return outs
+
+
+def _unpack_bf16_pairs(packed, k):
+    cols = []
+    for v in packed:
+        cols.append(jax.lax.bitcast_convert_type(
+            (v >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32))
+        cols.append(jax.lax.bitcast_convert_type(
+            (v & jnp.uint32(0xFFFF)).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32))
+    return cols[:k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _gather_payload(table, gid, gid_starts, image_only: bool = False,
+                    pack_bf16: bool = False):
     """Differentiable per-entry row gather from the small (N+1, F) feature
     table (last row zeros = dummy/null sentinel). Its VJP sorts the entry
     gradients by Gaussian id and segment-reduces them — never an E-row-table
@@ -147,23 +182,32 @@ def _gather_payload(table, gid, gid_starts, image_only: bool = False):
 
     Contract: only the payload columns [0, F_PSIZE] are differentiable —
     the pad columns must carry zero cotangents (the compositor's bwd kernel
-    never writes them), and their table gradient is returned as zero."""
+    never writes them), and their table gradient is returned as zero.
+    With pack_bf16, gradient columns ride the sort as bf16 pairs (see
+    RasterSettings.grad_pack_bf16)."""
     return table[gid]
 
 
-def _gather_payload_fwd(table, gid, gid_starts, image_only: bool = False):
+def _gather_payload_fwd(table, gid, gid_starts, image_only: bool = False,
+                        pack_bf16: bool = False):
     return table[gid], (table.shape[0], gid, gid_starts)
 
 
-def _gather_payload_bwd(image_only, res, g):
+def _gather_payload_bwd(image_only, pack_bf16, res, g):
     n1, gid, gid_starts = res
     # Only the differentiable payload columns ride the sort — one contiguous
     # slice now that the VALID flag is gone (pad columns, and depth/psize
     # under image-only grads, carry structurally-zero cotangents) — each
     # sort operand costs ~1 ms at bench entry counts.
     last = comp.F_B if image_only else comp.F_PSIZE
-    g_live = g[:, :last + 1]
-    g_sorted = _sort_by_gid(gid, g_live)
+    if pack_bf16:
+        k = last + 1
+        packed = _pack_bf16_pairs([g[:, i] for i in range(k)])
+        ops = jax.lax.sort((gid,) + tuple(packed), num_keys=1,
+                           is_stable=False)
+        g_sorted = jnp.stack(_unpack_bf16_pairs(ops[1:], k), axis=1)
+    else:
+        g_sorted = _sort_by_gid(gid, g[:, :last + 1])
     d_live = _segmented_sums(g_sorted, gid_starts, n1 - 1)
     n = n1 - 1
     d = jnp.concatenate([
@@ -220,7 +264,8 @@ def composite_pipeline(pre, width: int, height: int,
         [cols, jnp.zeros((1, comp.NFEAT), jnp.float32)], axis=0)
 
     entry_feat = _gather_payload(feats, binned.gauss_id, binned.gid_starts,
-                                 settings.image_grads_only)
+                                 settings.image_grads_only,
+                                 settings.grad_pack_bf16)
     payload = entry_feat.reshape(-1, BLOCK, comp.NFEAT)
 
     backend = _resolve_backend(settings.backend)

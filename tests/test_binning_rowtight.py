@@ -52,13 +52,14 @@ def _render(camera, scene, row_tight):
         active_sh_degree=0, bg=jnp.array([0.2, 0.3, 0.4]), settings=settings)
 
 
+@pytest.mark.parametrize("tight", [True, "bands"])
 @pytest.mark.parametrize("kind,seed", [("normal", 1), ("normal", 7),
                                        ("faint", 3)])
-def test_rowtight_image_parity(kind, seed):
+def test_rowtight_image_parity(kind, seed, tight):
     camera = identity_camera(W, H)
     scene = _scene(kind, seed)
     rect = _render(camera, scene, row_tight=False)
-    rowt = _render(camera, scene, row_tight=True)
+    rowt = _render(camera, scene, row_tight=tight)
     assert int(rect.overflow) == 0 and int(rowt.overflow) == 0
     # Row-tight must never emit MORE entries than the rect path.
     assert int(rowt.num_entries) <= int(rect.num_entries)
@@ -85,14 +86,15 @@ def _binned_pairs(binned, n):
     return pairs, counts
 
 
+@pytest.mark.parametrize("tight", [True, "bands"])
 @pytest.mark.parametrize("kind,seed", [("normal", 1), ("faint", 3)])
-def test_rowtight_coverage_superset_and_invariants(kind, seed):
+def test_rowtight_coverage_superset_and_invariants(kind, seed, tight):
     camera = identity_camera(W, H)
     means, scales, quats, opac, shs = _scene(kind, seed)
     pre = preprocess(camera, jnp.asarray(means), jnp.asarray(opac),
                      shs=jnp.asarray(shs), scales=jnp.asarray(scales),
                      quats=jnp.asarray(quats), active_sh_degree=0)
-    binned = bin_gaussians(pre, W, H, 1 << 15, row_tight=True)
+    binned = bin_gaussians(pre, W, H, 1 << 15, row_tight=tight)
     n = means.shape[0]
     pairs, counts = _binned_pairs(binned, n)
 
@@ -128,4 +130,4 @@ def test_rowtight_coverage_superset_and_invariants(kind, seed):
         for t in np.unique(typ[live] * tiles_x + txp[live]):
             if (g, int(t)) not in pairs:
                 missing.append((g, int(t)))
-    assert not missing, f"row-tight dropped live (gaussian, tile): {missing[:10]}"
+    assert not missing, f"tight binning dropped live (gaussian, tile): {missing[:10]}"

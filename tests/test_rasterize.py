@@ -152,3 +152,34 @@ def test_grads_cross_backend(camera, scene):
         np.testing.assert_allclose(b, a, atol=3e-5 * scale + 1e-6,
                                    err_msg=f"grad mismatch: {name}")
         assert np.abs(a).max() > 0, f"zero gradient for {name}"
+
+
+def test_grad_pack_bf16_close(camera, scene):
+    """grad_pack_bf16 (bf16-paired VJP sort operands) must reproduce the
+    exact-f32 gradients to bf16-contribution tolerance — a speed/precision
+    trade gated off the strict parity path (RasterSettings docstring)."""
+    means, scales, quats, opac, shs = scene
+
+    def grads(pack):
+        settings = RasterSettings(backend="pallas", entry_cap=1 << 15,
+                                  grad_pack_bf16=pack)
+
+        def loss_fn(means3d, scales_, quats_, opac_, shs_):
+            out = rasterize(
+                camera, means3d, opac_, shs=shs_, scales=scales_,
+                quats=quats_, active_sh_degree=0,
+                bg=jnp.array([0.2, 0.3, 0.4]), settings=settings)
+            return jnp.sum(out.image * jnp.cos(out.image))
+
+        return jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opac), jnp.asarray(shs))
+
+    exact = grads(False)
+    packed = grads(True)
+    for e, p in zip(exact, packed):
+        e, p = np.asarray(e), np.asarray(p)
+        scale = max(np.abs(e).max(), 1e-8)
+        np.testing.assert_allclose(p, e, atol=2e-2 * scale)
+        # And it must not be trivially zero / exact (the pack is active).
+        assert np.abs(p).max() > 0
