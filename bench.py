@@ -83,13 +83,20 @@ def main():
     opac = rng.uniform(0.2, 0.9, N).astype(np.float32)
     cols = rng.uniform(0, 1, (N, 3)).astype(np.float32)
     cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.8, W, H)
-    # MSGS_BENCH_ROW_TIGHT A/Bs the binning emission path from the harness
-    # (the kernels themselves read no env vars; this only picks the setting).
+    # MSGS_BENCH_* env vars A/B kernel settings from the harness (the
+    # kernels themselves read no env vars; this only picks the setting).
+    # Production-fast gradient modes default ON: both are tolerance-tested
+    # against the exact-f32 path (tests/test_rasterize.py) and selectable
+    # at train time via --fast_grads.
     rt_env = os.environ.get("MSGS_BENCH_ROW_TIGHT")
     settings = RasterSettings(backend="pallas", entry_cap=ENTRY_CAP,
                               image_grads_only=True,
                               row_tight=None if rt_env is None
-                              else rt_env == "1")
+                              else rt_env == "1",
+                              grad_pack_bf16=os.environ.get(
+                                  "MSGS_BENCH_GRAD_PACK", "1") != "0",
+                              bwd_bf16=os.environ.get(
+                                  "MSGS_BENCH_BWD_BF16", "1") != "0")
 
     args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(opac), jnp.asarray(cols))

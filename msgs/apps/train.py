@@ -65,6 +65,12 @@ def build_parser():
     p.add_argument("--capacity", type=int, default=0,
                    help="Gaussian capacity; 0 = auto (grows on demand)")
     p.add_argument("--entry_cap", type=int, default=1 << 20)
+    p.add_argument("--fast_grads", action="store_true",
+                   help="enable the bf16 fast gradient modes "
+                        "(grad_pack_bf16 + bwd_bf16): ~2^-8-relative "
+                        "gradient noise, tolerance-tested vs exact f32 "
+                        "(tests/test_rasterize.py); the quality-suite runs "
+                        "keep the exact path for cross-round comparability")
     p.add_argument("--backend", type=str, default="pallas")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -196,7 +202,9 @@ def training(args):
                               fade_ungated=args.fade_ungated,
                               entry_cap=args.entry_cap,
                               backend=args.backend,
-                              image_grads_only=True)
+                              image_grads_only=True,
+                              grad_pack_bf16=args.fast_grads,
+                              bwd_bf16=args.fast_grads)
 
     st = create_from_points(cfg, scene.points, scene.colors)
     state = L.init_train_state(st)

@@ -443,13 +443,49 @@ def _fwd_kernel(st_ref, sv_ref, payload_ref, out_ref, state_ref,
             state_ref[:] = states[NSUB - 1]
 
 
+def _tri_subdiag():
+    """(BLOCK, BLOCK) f32 block-diagonal lower-triangular matrix: out row i
+    sums rows j ≤ i of the same SUB-row group. Entries are exactly 0/1, so a
+    bf16 MXU contraction against it loses only the operand rounding."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+    return ((j <= i) & (i // SUB == j // SUB)).astype(jnp.float32)
+
+
+def _moment_basis():
+    """(NPIX, 8) f32 pixel-monomial basis [x, y, 1, 0…] in tile-local
+    integer coordinates — every value ≤ 15 is exact in bf16."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
+    x = (p % TILE).astype(jnp.float32)
+    y = (p // TILE).astype(jnp.float32)
+    return jnp.where(c == 0, x, jnp.where(c == 1, y,
+                     jnp.where(c == 2, 1.0, 0.0)))
+
+
+def _bf16_dot(a, b):
+    """a @ b on the MXU with bf16 operands and f32 accumulation (one-pass;
+    the f32 HIGHEST dot Mosaic would otherwise emit is 6-pass and loses to
+    VPU reductions at these shapes — tools/exp_bwd2.py, PERF_NOTES)."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
 def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
                 tiles_x: int, width: int, height: int,
-                image_only: bool = False):
+                image_only: bool = False, bwd_bf16: bool = False):
     cst_refs = rest[:SPG]                          # SPG × (1, 8, NPIX)
-    dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
+    if bwd_bf16:
+        cstT_refs = rest[SPG:2 * SPG]              # SPG × (1, NPIX, 8)
+        dpay_ref, state_ref = rest[2 * SPG], rest[2 * SPG + 1]
+    else:
+        dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
     s = pl.program_id(0)
     nf_phi = 3 if image_only else 5                # r g b (depth psize)
+    row_in_sub = [
+        jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0) // SUB == k
+        for k in range(NSUB)]
 
     for g in range(GROUP):
         b = s * GROUP + g
@@ -491,32 +527,66 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             t_i = ctx.t_in * ctx.cum_excl          # transmittance before i
             w = ctx.w                              # (BLOCK, NPIX)
 
-            # φ and per-entry feature grads on the VPU: per-sub MXU matmuls
-            # here are (32×nf)·(nf×256) — far too small to amortize dispatch
-            # (8 tiny matmuls per block ≈ 115k dispatches per pass, measured
-            # several ms of pure launch latency). Each sub's constant
-            # cotangent rows stay (1, NPIX) and broadcast implicitly in the
-            # per-sub arithmetic — materializing them to block width first
-            # measured ~0.6 ms slower (tools/exp_bwd3.py `nogrows`).
-            phi_subs, df_subs = [], []
-            for k in range(NSUB):
-                rows = slice(k * SUB, (k + 1) * SUB)
-                pk = csts[k][C_GR:C_GR + 1, :] * feat[rows, F_R:F_R + 1]
-                for c in range(1, nf_phi):
-                    pk = pk + csts[k][C_GR + c:C_GR + c + 1, :] * \
-                        feat[rows, F_R + c:F_R + c + 1]
-                phi_subs.append(pk)
-                df_subs.append(jnp.stack(
-                    [jnp.sum(w[rows] * csts[k][C_GR + c:C_GR + c + 1, :],
-                             axis=1) for c in range(nf_phi)],
-                    axis=1))                       # (SUB, nf)
-            phi = jnp.concatenate(phi_subs, axis=0)
-            dfeat = jnp.concatenate(df_subs, axis=0)   # (BLOCK, nf)
+            if bwd_bf16:
+                # φ and per-entry feature grads as two block-wide bf16 MXU
+                # contractions over a block-diagonal (sub-major) layout:
+                # lhs row i of sub k carries its features at columns
+                # k·nf..k·nf+nf, so one (BLOCK, NSUB·nf)·(NSUB·nf, NPIX)
+                # dot yields φ for every sub at once (the per-sub rhs rows
+                # come straight from the existing cst blocks), and
+                # w·(NPIX, NSUB·nf) from the transposed table yields every
+                # sub's feature-grad lane reductions in one dot.
+                cstTs = [cstT_refs[g * NSUB + k][0] for k in range(NSUB)]
+                lhs = jnp.concatenate(
+                    [jnp.where(row_in_sub[k],
+                               feat[:, F_R:F_R + nf_phi], 0.0)
+                     for k in range(NSUB)], axis=1)      # (BLOCK, NSUB·nf)
+                rhs = jnp.concatenate(
+                    [csts[k][C_GR:C_GR + nf_phi, :]
+                     for k in range(NSUB)], axis=0)      # (NSUB·nf, NPIX)
+                phi = _bf16_dot(lhs, rhs)
+                rhs_t = jnp.concatenate(
+                    [cstTs[k][:, C_GR:C_GR + nf_phi]
+                     for k in range(NSUB)], axis=1)      # (NPIX, NSUB·nf)
+                df_full = _bf16_dot(w, rhs_t)            # (BLOCK, NSUB·nf)
+                dfeat = sum(
+                    jnp.where(row_in_sub[k],
+                              df_full[:, k * nf_phi:(k + 1) * nf_phi], 0.0)
+                    for k in range(NSUB))                # (BLOCK, nf)
+            else:
+                # φ and per-entry feature grads on the VPU: per-sub MXU
+                # matmuls here are (32×nf)·(nf×256) — far too small to
+                # amortize dispatch (8 tiny matmuls per block ≈ 115k
+                # dispatches per pass, measured several ms of pure launch
+                # latency). Each sub's constant cotangent rows stay
+                # (1, NPIX) and broadcast implicitly in the per-sub
+                # arithmetic — materializing them to block width first
+                # measured ~0.6 ms slower (tools/exp_bwd3.py `nogrows`).
+                phi_subs, df_subs = [], []
+                for k in range(NSUB):
+                    rows = slice(k * SUB, (k + 1) * SUB)
+                    pk = csts[k][C_GR:C_GR + 1, :] * feat[rows, F_R:F_R + 1]
+                    for c in range(1, nf_phi):
+                        pk = pk + csts[k][C_GR + c:C_GR + c + 1, :] * \
+                            feat[rows, F_R + c:F_R + c + 1]
+                    phi_subs.append(pk)
+                    df_subs.append(jnp.stack(
+                        [jnp.sum(w[rows] * csts[k][C_GR + c:C_GR + c + 1, :],
+                                 axis=1) for c in range(nf_phi)],
+                        axis=1))                       # (SUB, nf)
+                phi = jnp.concatenate(phi_subs, axis=0)
+                dfeat = jnp.concatenate(df_subs, axis=0)   # (BLOCK, nf)
 
             # Per-run wφ prefix: static per-sub scans + scalar carries +
-            # the carried-run scratch offset.
+            # the carried-run scratch offset. Under bwd_bf16 the per-sub
+            # inclusive scan is one block-diagonal triangular bf16 matmul
+            # (exact 0/1 triangle; only the wφ operand rounds) instead of
+            # the 5-step Hillis-Steele chain.
             p_rows = jnp.where(ctx.carried, state_ref[2:3, :], 0.0)
-            loc = _sub_cumsum_static(w * phi)
+            if bwd_bf16:
+                loc = _bf16_dot(_tri_subdiag(), w * phi)
+            else:
+                loc = _sub_cumsum_static(w * phi)
             carries = _chain_carries(loc, ctx.fresh, "add")
             prefix = p_rows + jnp.concatenate(
                 [loc[k * SUB:(k + 1) * SUB] + carries[k]
@@ -532,30 +602,59 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             unclamped = (ctx.alpha_raw < ALPHA_MAX).astype(jnp.float32)
             d_power = d_alpha * ctx.alpha * unclamped
 
-            # Geometry gradients: the six pixel-monomial moments of d_power
-            # as VPU multiply + lane reductions, then per-entry chain rules.
-            # (The r3 design contracted d_power against a static (NPIX, 8)
-            # basis on the MXU; under the package's HIGHEST default that
-            # matmul runs 6-pass f32 and measures ~2.4 ms SLOWER per pass
-            # than these reductions — tools/exp_bwd2.py, round 4.)
-            pxl_r, pyl_r = _local_pix()            # (1, NPIX)
-            dp_x = d_power * pxl_r
-            dp_y = d_power * pyl_r
-            d_q20 = jnp.sum(dp_x * pxl_r, axis=1, keepdims=True)
-            d_q11 = jnp.sum(dp_x * pyl_r, axis=1, keepdims=True)
-            d_q02 = jnp.sum(dp_y * pyl_r, axis=1, keepdims=True)
-            d_q10 = jnp.sum(dp_x, axis=1, keepdims=True)
-            d_q01 = jnp.sum(dp_y, axis=1, keepdims=True)
-            d_q00 = jnp.sum(d_power, axis=1, keepdims=True)
             mxl, myl = ctx.mxl, ctx.myl
             cxx, cxy, cyy = ctx.cxx, ctx.cxy, ctx.cyy
-            # power = −½cxx(x−mxl)² − ½cyy(y−myl)² − cxy(x−mxl)(y−myl):
-            # d_cxx = Σ d_power·(−½(x−mxl)²) expanded in the monomial sums.
-            d_cxx = -0.5 * (d_q20 - 2.0 * mxl * d_q10 + mxl * mxl * d_q00)
-            d_cyy = -0.5 * (d_q02 - 2.0 * myl * d_q01 + myl * myl * d_q00)
-            d_cxy = -(d_q11 - myl * d_q10 - mxl * d_q01 + mxl * myl * d_q00)
-            d_mx = cxx * (d_q10 - mxl * d_q00) + cxy * (d_q01 - myl * d_q00)
-            d_my = cyy * (d_q01 - myl * d_q00) + cxy * (d_q10 - mxl * d_q00)
+            if bwd_bf16:
+                # Geometry gradients as three bf16 MXU dots against the
+                # [x, y, 1] basis (exact in bf16), contracted in the
+                # MEAN-CENTRED form: the lhs rows carry d_power·dx and
+                # d_power·dy, so the residual chain-rule differences
+                # amplify operand rounding by only ~(|mxl|/r + 1) instead
+                # of the (mxl/σ)² blow-up of the raw monomial expansion
+                # (the reason the r3 f32-origin MXU form was rejected —
+                # PERF_NOTES "MXU forward power eval").
+                basis = _moment_basis()            # (NPIX, 8)
+                m0 = _bf16_dot(d_power, basis)     # ⟨dp·x⟩ ⟨dp·y⟩ ⟨dp⟩
+                m1 = _bf16_dot(d_power * ctx.dx, basis)
+                m2 = _bf16_dot(d_power * ctx.dy, basis)
+                q00 = m0[:, 2:3]
+                q10c = m1[:, 2:3]                  # ⟨dp·dx⟩
+                q01c = m2[:, 2:3]                  # ⟨dp·dy⟩
+                q20c = m1[:, 0:1] - mxl * q10c     # ⟨dp·dx²⟩
+                q11c = m1[:, 1:2] - myl * q10c     # ⟨dp·dx·dy⟩
+                q02c = m2[:, 1:2] - myl * q01c     # ⟨dp·dy²⟩
+                d_cxx = -0.5 * q20c
+                d_cyy = -0.5 * q02c
+                d_cxy = -q11c
+                d_mx = cxx * q10c + cxy * q01c
+                d_my = cyy * q01c + cxy * q10c
+                d_q00 = q00
+            else:
+                # Exact-f32 path: the six pixel-monomial moments of d_power
+                # as VPU multiply + lane reductions, then per-entry chain
+                # rules. (The r3 design contracted d_power against a static
+                # (NPIX, 8) basis on the MXU; under the package's HIGHEST
+                # default that matmul runs 6-pass f32 and measures ~2.4 ms
+                # SLOWER per pass than these reductions — tools/exp_bwd2.py.)
+                pxl_r, pyl_r = _local_pix()        # (1, NPIX)
+                dp_x = d_power * pxl_r
+                dp_y = d_power * pyl_r
+                d_q20 = jnp.sum(dp_x * pxl_r, axis=1, keepdims=True)
+                d_q11 = jnp.sum(dp_x * pyl_r, axis=1, keepdims=True)
+                d_q02 = jnp.sum(dp_y * pyl_r, axis=1, keepdims=True)
+                d_q10 = jnp.sum(dp_x, axis=1, keepdims=True)
+                d_q01 = jnp.sum(dp_y, axis=1, keepdims=True)
+                d_q00 = jnp.sum(d_power, axis=1, keepdims=True)
+                # power = −½cxx(x−mxl)² − ½cyy(y−myl)² − cxy(x−mxl)(y−myl):
+                # d_cxx = Σ d_power·(−½(x−mxl)²) in the monomial sums.
+                d_cxx = -0.5 * (d_q20 - 2.0 * mxl * d_q10 + mxl * mxl * d_q00)
+                d_cyy = -0.5 * (d_q02 - 2.0 * myl * d_q01 + myl * myl * d_q00)
+                d_cxy = -(d_q11 - myl * d_q10 - mxl * d_q01
+                          + mxl * myl * d_q00)
+                d_mx = cxx * (d_q10 - mxl * d_q00) + \
+                    cxy * (d_q01 - myl * d_q00)
+                d_my = cyy * (d_q01 - myl * d_q00) + \
+                    cxy * (d_q10 - mxl * d_q00)
             # α = op·exp(power) ⇒ d_op = Σ d_alpha·exp(power) = d_q00/op
             # (d_power = d_alpha·α·unclamped and α = op·exp(power) on the
             # surviving rows; op = 0 only on dummy rows, whose mask is 0).
@@ -632,7 +731,7 @@ def _composite_fwd_call(payload, sub_tile, sub_valid, tile_last_sub,
 
 def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
                         tiles_x: int, width: int, height: int,
-                        image_only: bool = False):
+                        image_only: bool = False, bwd_bf16: bool = False):
     b_cap = payload.shape[0]
     # Per-tile backward constants, pre-gathered per block (a block-row gather
     # from the small (T, 8, NPIX) table):
@@ -657,13 +756,29 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
             lambda s, st, sv, j=j: (st[s * SPG + j], 0, 0),
             memory_space=pltpu.VMEM)
 
+    def cst_t_spec(j):
+        return pl.BlockSpec(
+            (1, NPIX, 8),
+            lambda s, st, sv, j=j: (st[s * SPG + j], 0, 0),
+            memory_space=pltpu.VMEM)
+
+    extra_in = []
+    extra_specs = []
+    if bwd_bf16:
+        # The dfeat contraction consumes the cotangent rows lane-major: one
+        # caller-side transpose of the small (T, 8, NPIX) table instead of
+        # an in-kernel relayout per block.
+        cstT_t = jnp.swapaxes(cst_t, 1, 2)          # (T, NPIX, 8)
+        extra_in = [cstT_t] * SPG
+        extra_specs = [cst_t_spec(j) for j in range(SPG)]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b_cap // GROUP,),
         in_specs=[
             pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [cst_spec(j) for j in range(SPG)],
+        ] + [cst_spec(j) for j in range(SPG)] + extra_specs,
         out_specs=[
             pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -672,24 +787,28 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
     )
     (dpay,) = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, width=width,
-                          height=height, image_only=image_only),
+                          height=height, image_only=image_only,
+                          bwd_bf16=bwd_bf16),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
         interpret=_interpret(),
-    )(sub_tile, sub_valid, payload, *([cst_t] * SPG))
+    )(sub_tile, sub_valid, payload, *([cst_t] * SPG), *extra_in)
     return dpay
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def composite(payload, sub_tile, sub_valid, tile_last_sub, tiles: int,
               tiles_x: int, width: int, height: int,
-              image_only: bool = False) -> jnp.ndarray:
+              image_only: bool = False, bwd_bf16: bool = False) -> jnp.ndarray:
     """Composite packed splat blocks into per-tile images.
 
     payload: (B_cap, BLOCK, NFEAT) f32 — blocked, depth-sorted, with every
     SUB-entry sub-block owned by exactly one tile.
     With `image_only`, depth/acc/T cotangents are treated as structurally
     zero in the backward pass (the reference's training grad contract).
+    With `bwd_bf16`, the backward kernel's moment reductions and wφ prefix
+    run as bf16 MXU contractions (forward values stay exact f32) — see
+    RasterSettings.bwd_bf16.
     Returns tiles_out (T, NOUT, 256).
     """
     return _composite_fwd_call(payload, sub_tile, sub_valid,
@@ -697,18 +816,18 @@ def composite(payload, sub_tile, sub_valid, tile_last_sub, tiles: int,
 
 
 def _composite_fwd(payload, sub_tile, sub_valid, tile_last_sub, tiles,
-                   tiles_x, width, height, image_only):
+                   tiles_x, width, height, image_only, bwd_bf16):
     out = _composite_fwd_call(payload, sub_tile, sub_valid,
                               tile_last_sub, tiles, tiles_x, width, height)
     return out, (payload, sub_tile, sub_valid, out)
 
 
-def _composite_bwd(tiles, tiles_x, width, height, image_only, residuals,
-                   g_tiles):
+def _composite_bwd(tiles, tiles_x, width, height, image_only, bwd_bf16,
+                   residuals, g_tiles):
     payload, sub_tile, sub_valid, res = residuals
     dpay = _composite_bwd_call(payload, sub_tile, sub_valid, res,
                                g_tiles, tiles_x, width, height,
-                               image_only=image_only)
+                               image_only=image_only, bwd_bf16=bwd_bf16)
 
     def _f0(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
@@ -721,7 +840,8 @@ composite.defvjp(_composite_fwd, _composite_bwd)
 
 def composite_reference(payload, sub_tile, sub_valid, tile_last_sub,
                         tiles: int, tiles_x: int, width: int, height: int,
-                        image_only: bool = False) -> jnp.ndarray:
+                        image_only: bool = False,
+                        bwd_bf16: bool = False) -> jnp.ndarray:
     """Pure-jnp gold oracle: a `lax.scan` over sub-blocks sharing
     `_block_forward` with the Pallas kernel — identical arithmetic and
     early-out semantics, differentiable end-to-end via autodiff. The

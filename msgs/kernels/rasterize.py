@@ -50,8 +50,14 @@ class RasterSettings(NamedTuple):
     # gather-VJP's gid sort — ~half the sort operands for ~2^-8-relative
     # noise on per-entry gradient contributions (summed in f32). Training-
     # benign (stochastic-gradient scale) but outside the strict parity
-    # budget: off by default, enabled by the trainer and the bench.
+    # budget: off by default, enabled by the bench and by `--fast_grads`.
     grad_pack_bf16: bool = False
+    # Run the backward compositor's moment reductions and wφ prefix as bf16
+    # MXU contractions (mean-centred form bounds the rounding amplification;
+    # forward image values stay exact f32). ~2^-8-relative noise on
+    # parameter gradients — training-benign, outside the strict parity
+    # budget. Off by default; enabled by the trainer and the bench.
+    bwd_bf16: bool = False
     # filter_small semantics probe (BASELINE.md "filter_small semantics"):
     # when True, the sub-pixel fade keys on the CURRENT footprint alone,
     # ignoring the recorded max_pixel_sizes gate — the alternative reading
@@ -272,7 +278,7 @@ def composite_pipeline(pre, width: int, height: int,
     fn = comp.composite if backend == "pallas" else comp.composite_reference
     tiles_out = fn(payload, binned.sub_tile, binned.sub_valid,
                    binned.tile_last_sub, tiles, tiles_x, width,
-                   height, settings.image_grads_only)
+                   height, settings.image_grads_only, settings.bwd_bf16)
 
     # tiles_out: (T, NOUT, 256) channel-major → (H, W, NOUT).
     empty_init = jnp.zeros((comp.NOUT,), jnp.float32).at[comp.O_T].set(1.0)

@@ -154,6 +154,43 @@ def test_grads_cross_backend(camera, scene):
         assert np.abs(a).max() > 0, f"zero gradient for {name}"
 
 
+def test_bwd_bf16_close(camera, scene):
+    """bwd_bf16 (MXU bf16 moment/prefix contractions in the backward
+    kernel) must reproduce the exact-f32 gradients to bf16-contribution
+    tolerance, and must leave forward values bit-identical (only the
+    backward pass changes)."""
+    means, scales, quats, opac, shs = scene
+
+    def run(flag):
+        settings = RasterSettings(backend="pallas", entry_cap=1 << 15,
+                                  bwd_bf16=flag)
+
+        def loss_fn(means3d, scales_, quats_, opac_, shs_, probe):
+            out = rasterize(
+                camera, means3d, opac_, shs=shs_, scales=scales_,
+                quats=quats_, active_sh_degree=0,
+                bg=jnp.array([0.2, 0.3, 0.4]), means2d_probe=probe,
+                settings=settings)
+            return jnp.sum(out.image * jnp.cos(out.image)), out.image
+
+        args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+                jnp.asarray(opac), jnp.asarray(shs), jnp.zeros((N, 2)))
+        (loss, img), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(*args)
+        return img, grads
+
+    img_e, exact = run(False)
+    img_f, fast = run(True)
+    np.testing.assert_array_equal(np.asarray(img_f), np.asarray(img_e))
+    names = ["means", "scales", "quats", "opac", "shs", "probe"]
+    for name, e, p in zip(names, exact, fast):
+        e, p = np.asarray(e), np.asarray(p)
+        scale = max(np.abs(e).max(), 1e-8)
+        np.testing.assert_allclose(p, e, atol=2e-2 * scale,
+                                   err_msg=f"bwd_bf16 grad mismatch: {name}")
+        assert np.abs(p).max() > 0
+
+
 def test_grad_pack_bf16_close(camera, scene):
     """grad_pack_bf16 (bf16-paired VJP sort operands) must reproduce the
     exact-f32 gradients to bf16-contribution tolerance — a speed/precision
