@@ -49,7 +49,15 @@ def main():
     cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.8, W, H)
     args = tuple(jnp.asarray(a)
                  for a in (means, scales, quats, opac, cols))
-    settings = rz.RasterSettings(backend="pallas", entry_cap=ENTRY_CAP)
+    # Match bench.py's production config (image-only grads + bf16 fast
+    # modes); MSGS_BENCH_* env vars A/B them from the harness.
+    img_only = os.environ.get("MSGS_BENCH_IMAGE_ONLY", "1") != "0"
+    bwd_bf16 = os.environ.get("MSGS_BENCH_BWD_BF16", "1") != "0"
+    grad_pack = os.environ.get("MSGS_BENCH_GRAD_PACK", "1") != "0"
+    settings = rz.RasterSettings(backend="pallas", entry_cap=ENTRY_CAP,
+                                 image_grads_only=img_only,
+                                 bwd_bf16=bwd_bf16,
+                                 grad_pack_bf16=grad_pack)
 
     def scalarize(x):
         return jnp.sum(jnp.asarray(
@@ -92,7 +100,8 @@ def main():
 
     def payload_vjp(pre, binned):
         def f(feats):
-            ef = rz._gather_payload(feats, binned.gauss_id, binned.gid_starts)
+            ef = rz._gather_payload(feats, binned.gauss_id,
+                                    binned.gid_starts, img_only, grad_pack)
             return jnp.sum(ef)
         Nn = pre.depths.shape[0]
         return jax.grad(f)(jnp.zeros((Nn + 1, comp.NFEAT), jnp.float32))
@@ -106,8 +115,9 @@ def main():
 
     def bwd_f(p, bt, bv, tlb):
         def g(p):
-            o = comp.composite(p, bt, bv, tlb, tiles, tiles_x, W, H)
-            return jnp.sum(o[:, :5])
+            o = comp.composite(p, bt, bv, tlb, tiles, tiles_x, W, H,
+                               img_only, bwd_bf16)
+            return jnp.sum(o[:, :5 if not img_only else 3])
         return jax.grad(g)(p)
     timeit("composite fwd+bwd", bwd_f, payload, binned.sub_tile,
            binned.sub_valid, binned.tile_last_sub)
