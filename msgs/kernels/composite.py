@@ -83,6 +83,7 @@ GROUP = 8              # payload blocks / grid step
 _SKIP_SATURATED = True
 NSUB = BLOCK // SUB    # tile-aligned sub-blocks per payload block
 SPG = GROUP * NSUB     # sub-blocks per grid step
+SPB = GROUP * BLOCK    # entries per grid step (bwd moment staging rows)
 
 # Payload feature column indices. All 11 live columns are differentiable
 # and contiguous — the gather VJP sorts exactly g[:, :F_PSIZE+1] (or
@@ -466,10 +467,15 @@ def _moment_basis():
 def _bf16_dot(a, b):
     """a @ b on the MXU with bf16 operands and f32 accumulation (one-pass;
     the f32 HIGHEST dot Mosaic would otherwise emit is 6-pass and loses to
-    VPU reductions at these shapes — tools/exp_bwd2.py, PERF_NOTES)."""
+    VPU reductions at these shapes — tools/exp_bwd2.py, PERF_NOTES).
+    Precision must be DEFAULT explicitly: the package pins the global
+    matmul default to HIGHEST (bf16-default corrupts projections/SSIM in
+    XLA-land math), and Mosaic rejects an fp32-precision contract over
+    bf16 operands ("Bad lhs type")."""
     return jax.lax.dot_general(
         a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT)
 
 
 def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
@@ -479,6 +485,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
     if bwd_bf16:
         cstT_refs = rest[SPG:2 * SPG]              # SPG × (1, NPIX, 8)
         dpay_ref, state_ref = rest[2 * SPG], rest[2 * SPG + 1]
+        mom_ref = rest[2 * SPG + 2]                # (3·SPB, NPIX) bf16
     else:
         dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
     s = pl.program_id(0)
@@ -515,6 +522,10 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
         @pl.when(jnp.logical_not(live))
         def _():
             dpay_ref[g] = jnp.zeros((BLOCK, NFEAT), jnp.float32)
+            if bwd_bf16:
+                z = jnp.zeros((BLOCK, NPIX), jnp.bfloat16)
+                for q in range(3):
+                    mom_ref[q * SPB + g * BLOCK:q * SPB + (g + 1) * BLOCK] = z
 
         @pl.when(live)
         def _():
@@ -605,30 +616,21 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             mxl, myl = ctx.mxl, ctx.myl
             cxx, cxy, cyy = ctx.cxx, ctx.cxy, ctx.cyy
             if bwd_bf16:
-                # Geometry gradients as three bf16 MXU dots against the
-                # [x, y, 1] basis (exact in bf16), contracted in the
-                # MEAN-CENTRED form: the lhs rows carry d_power·dx and
-                # d_power·dy, so the residual chain-rule differences
-                # amplify operand rounding by only ~(|mxl|/r + 1) instead
-                # of the (mxl/σ)² blow-up of the raw monomial expansion
-                # (the reason the r3 f32-origin MXU form was rejected —
-                # PERF_NOTES "MXU forward power eval").
-                basis = _moment_basis()            # (NPIX, 8)
-                m0 = _bf16_dot(d_power, basis)     # ⟨dp·x⟩ ⟨dp·y⟩ ⟨dp⟩
-                m1 = _bf16_dot(d_power * ctx.dx, basis)
-                m2 = _bf16_dot(d_power * ctx.dy, basis)
-                q00 = m0[:, 2:3]
-                q10c = m1[:, 2:3]                  # ⟨dp·dx⟩
-                q01c = m2[:, 2:3]                  # ⟨dp·dy⟩
-                q20c = m1[:, 0:1] - mxl * q10c     # ⟨dp·dx²⟩
-                q11c = m1[:, 1:2] - myl * q10c     # ⟨dp·dx·dy⟩
-                q02c = m2[:, 1:2] - myl * q01c     # ⟨dp·dy²⟩
-                d_cxx = -0.5 * q20c
-                d_cyy = -0.5 * q02c
-                d_cxy = -q11c
-                d_mx = cxx * q10c + cxy * q01c
-                d_my = cyy * q01c + cxy * q10c
-                d_q00 = q00
+                # Stage the three moment lhs matrices (d_power, d_power·dx,
+                # d_power·dy in the MEAN-CENTRED form — bounds bf16 rounding
+                # amplification to ~(|mxl|/r + 1) instead of the (mxl/σ)²
+                # blow-up of raw monomials) for ONE step-wide batched MXU
+                # dot after the block loop: per-block (128,256)·(256,8)
+                # dots measured dispatch/latency-bound at ~10 ms per pass
+                # (tools/exp_fwd_ablate.py bwd/full vs bwd/no_geom), the
+                # same cost as the six VPU lane reductions they replaced.
+                # Geometry chains + stores happen in the phase-3 loop below.
+                mom_ref[g * BLOCK:(g + 1) * BLOCK] = \
+                    d_power.astype(jnp.bfloat16)
+                mom_ref[SPB + g * BLOCK:SPB + (g + 1) * BLOCK] = \
+                    (d_power * ctx.dx).astype(jnp.bfloat16)
+                mom_ref[2 * SPB + g * BLOCK:2 * SPB + (g + 1) * BLOCK] = \
+                    (d_power * ctx.dy).astype(jnp.bfloat16)
             else:
                 # Exact-f32 path: the six pixel-monomial moments of d_power
                 # as VPU multiply + lane reductions, then per-entry chain
@@ -655,19 +657,20 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
                     cxy * (d_q01 - myl * d_q00)
                 d_my = cyy * (d_q01 - myl * d_q00) + \
                     cxy * (d_q10 - mxl * d_q00)
-            # α = op·exp(power) ⇒ d_op = Σ d_alpha·exp(power) = d_q00/op
-            # (d_power = d_alpha·α·unclamped and α = op·exp(power) on the
-            # surviving rows; op = 0 only on dummy rows, whose mask is 0).
-            d_op = jnp.where(ctx.op > 0.0, d_q00 / jnp.maximum(ctx.op, 1e-30),
-                             0.0)
+            if not bwd_bf16:
+                # α = op·exp(power) ⇒ d_op = Σ d_alpha·exp(power) = d_q00/op
+                # (d_power = d_alpha·α·unclamped and α = op·exp(power) on
+                # the surviving rows; op = 0 only on dummy rows, masked 0).
+                d_op = jnp.where(
+                    ctx.op > 0.0, d_q00 / jnp.maximum(ctx.op, 1e-30), 0.0)
 
-            # Column stores — natural in the entry-major layout.
-            dpay_ref[g, :, F_MX] = d_mx[:, 0]
-            dpay_ref[g, :, F_MY] = d_my[:, 0]
-            dpay_ref[g, :, F_CXX] = d_cxx[:, 0]
-            dpay_ref[g, :, F_CXY] = d_cxy[:, 0]
-            dpay_ref[g, :, F_CYY] = d_cyy[:, 0]
-            dpay_ref[g, :, F_OP] = d_op[:, 0]
+                # Column stores — natural in the entry-major layout.
+                dpay_ref[g, :, F_MX] = d_mx[:, 0]
+                dpay_ref[g, :, F_MY] = d_my[:, 0]
+                dpay_ref[g, :, F_CXX] = d_cxx[:, 0]
+                dpay_ref[g, :, F_CXY] = d_cxy[:, 0]
+                dpay_ref[g, :, F_CYY] = d_cyy[:, 0]
+                dpay_ref[g, :, F_OP] = d_op[:, 0]
             for i in range(nf_phi):
                 dpay_ref[g, :, F_R + i] = dfeat[:, i]
 
@@ -692,6 +695,46 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             state_ref[0:1, :] = t_st
             state_ref[1:2, :] = done_st
             state_ref[2:3, :] = prefix[BLOCK - 1:BLOCK, :]
+
+    if bwd_bf16:
+        # Phase 2: ONE batched MXU dot for the whole step's moments
+        # (3·SPB rows = GROUP blocks × {dp, dp·dx, dp·dy}).
+        dcoef = _bf16_dot(mom_ref[:], _moment_basis())   # (3·SPB, 8)
+        # Phase 3: per-block chain rules + geometry column stores.
+        # Unpredicated: dead/skipped blocks staged zero moments, so their
+        # chains produce zeros — consistent with the dead-block dpay
+        # zeroing (payload sentinel rows are finite, so no NaN leaks).
+        for g in range(GROUP):
+            feat = payload_ref[g]
+            sb0 = (s * GROUP + g) * NSUB
+            txs = [(st_ref[sb0 + k] % tiles_x).astype(jnp.float32) * TILE
+                   for k in range(NSUB)]
+            tys = [(st_ref[sb0 + k] // tiles_x).astype(jnp.float32) * TILE
+                   for k in range(NSUB)]
+            mxl = feat[:, F_MX:F_MX + 1] - _sub_cols(txs)
+            myl = feat[:, F_MY:F_MY + 1] - _sub_cols(tys)
+            cxx = feat[:, F_CXX:F_CXX + 1]
+            cxy = feat[:, F_CXY:F_CXY + 1]
+            cyy = feat[:, F_CYY:F_CYY + 1]
+            op = feat[:, F_OP:F_OP + 1]
+            m0 = dcoef[g * BLOCK:(g + 1) * BLOCK]
+            m1 = dcoef[SPB + g * BLOCK:SPB + (g + 1) * BLOCK]
+            m2 = dcoef[2 * SPB + g * BLOCK:2 * SPB + (g + 1) * BLOCK]
+            q00 = m0[:, 2:3]                       # ⟨dp⟩
+            q10c = m1[:, 2:3]                      # ⟨dp·dx⟩
+            q01c = m2[:, 2:3]                      # ⟨dp·dy⟩
+            q20c = m1[:, 0:1] - mxl * q10c         # ⟨dp·dx²⟩
+            q11c = m1[:, 1:2] - myl * q10c         # ⟨dp·dx·dy⟩
+            q02c = m2[:, 1:2] - myl * q01c         # ⟨dp·dy²⟩
+            dpay_ref[g, :, F_MX] = (cxx * q10c + cxy * q01c)[:, 0]
+            dpay_ref[g, :, F_MY] = (cyy * q01c + cxy * q10c)[:, 0]
+            dpay_ref[g, :, F_CXX] = (-0.5 * q20c)[:, 0]
+            dpay_ref[g, :, F_CXY] = (-q11c)[:, 0]
+            dpay_ref[g, :, F_CYY] = (-0.5 * q02c)[:, 0]
+            # α = op·exp(power) ⇒ d_op = q00/op (op = 0 only on dummy rows,
+            # whose moments are zero).
+            dpay_ref[g, :, F_OP] = jnp.where(
+                op > 0.0, q00 / jnp.maximum(op, 1e-30), 0.0)[:, 0]
 
 
 def _interpret() -> bool:
@@ -783,7 +826,8 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
             pl.BlockSpec((GROUP, BLOCK, NFEAT), lambda s, st, sv: (s, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((4, NPIX), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((4, NPIX), jnp.float32)] + (
+            [pltpu.VMEM((3 * SPB, NPIX), jnp.bfloat16)] if bwd_bf16 else []),
     )
     (dpay,) = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, width=width,

@@ -220,6 +220,23 @@ def main():
         payload, binned.sub_tile, binned.sub_valid, binned.tile_last_sub)
     cot = jnp.ones((tiles, NOUT, NPIX), jnp.float32) * 0.1
 
+    # Shims for helpers that no longer live in composite.py (the r3 MXU
+    # moment contraction was removed from the kernel; these keep the
+    # ablation variants runnable — relative deltas are what matters).
+    if not hasattr(comp, "_local_basis_t"):
+        def _local_basis_t():
+            p = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 0)
+            c = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
+            x = (p % 16).astype(jnp.float32)
+            y = (p // 16).astype(jnp.float32)
+            cols = [x * x, x * y, y * y, x, y, jnp.ones_like(x)]
+            out = jnp.zeros((NPIX, 8), jnp.float32)
+            for i, v in enumerate(cols):
+                out = jnp.where(c == i, v, out)
+            return out
+        comp._local_basis_t = _local_basis_t
+        comp._dot = comp._bf16_dot
+
     def make_bwd(variant):
         image_only = True
         g_c = cot[:, comp.O_R:comp.O_B + 1, :]
@@ -329,6 +346,22 @@ def main():
                         cxy * (d_q10 - mxl * d_q00)
                     d_op = jnp.where(ctx.op > 0.0,
                                      d_q00 / jnp.maximum(ctx.op, 1e-30), 0.0)
+                    if variant == "geom_nostore":
+                        # Full geometry math, single-column store: isolates
+                        # the cost of the 9 per-column strided dpay stores.
+                        dpay_ref[g, :, 0] = (
+                            d_mx + d_my + d_cxx + d_cxy + d_cyy + d_op
+                            + sum(dfeat_cols))[:, 0]
+                        return
+                    if variant == "geom_concat":
+                        # One aligned (BLOCK, NFEAT) store from a lane-concat
+                        # instead of 9 strided column stores.
+                        cols = [d_mx, d_my, d_cxx, d_cxy, d_cyy, d_op]
+                        cols += dfeat_cols[:nf_phi]
+                        cols += [jnp.zeros((BLOCK, 1), jnp.float32)] * (
+                            NFEAT - len(cols))
+                        dpay_ref[g] = jnp.concatenate(cols, axis=1)
+                        return
                     dpay_ref[g, :, comp.F_MX] = d_mx[:, 0]
                     dpay_ref[g, :, comp.F_MY] = d_my[:, 0]
                     dpay_ref[g, :, comp.F_CXX] = d_cxx[:, 0]
@@ -390,8 +423,8 @@ def main():
     if which in ("bwd", "all"):
         print("=== backward ablations (real bwd: ~27 incl. residual prep) ===",
               flush=True)
-        for v in ("full", "no_cst", "no_geom", "no_prefix",
-                  "recompute_only"):
+        for v in ("full", "geom_nostore", "geom_concat", "no_geom",
+                  "no_prefix", "recompute_only"):
             timeit(f"bwd/{v}", make_bwd(v),
                    binned.sub_tile, binned.sub_valid, payload)
 
