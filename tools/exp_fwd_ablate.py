@@ -125,20 +125,35 @@ def main():
             @pl.when(jnp.logical_and(compute, jnp.logical_not(skip)))
             def _():
                 feat = payload_ref[g]
-                if variant == "pairs_only":
-                    # alpha eval + scans + w + acc, no tile bookkeeping.
+                if variant.startswith("pairs"):
+                    # alpha eval (+ scans + w + acc), no tile bookkeeping;
+                    # pairs_noscan / pairs_noaccs / pairs_alpha drop pieces
+                    # to split the pair-math pipeline cost.
                     px = (jax.lax.broadcasted_iota(
                         jnp.int32, (1, NPIX), 1) % 16).astype(jnp.float32)
                     py = (jax.lax.broadcasted_iota(
                         jnp.int32, (1, NPIX), 1) // 16).astype(jnp.float32)
                     alpha, _, _, _, _, _ = comp._alpha_terms(feat, px, py)
-                    f = 1.0 - alpha
-                    cum = comp._sub_cumprod_static(f)
-                    row = comp._sub_row_iota(BLOCK)
-                    excl = jnp.where(row >= 1, jnp.concatenate(
-                        [jnp.ones((1, NPIX), jnp.float32), cum[:-1]], 0), 1.0)
-                    alive = (cum >= comp.T_EPS).astype(jnp.float32)
-                    w = alpha * excl * alive
+                    if variant == "pairs_alpha":
+                        state_ref[0:1, :] += jnp.max(alpha, axis=0,
+                                                     keepdims=True)
+                        out_ref[g * NSUB] = state_ref[:]
+                        return
+                    if variant == "pairs_noscan":
+                        w = alpha
+                    else:
+                        f = 1.0 - alpha
+                        cum = comp._sub_cumprod_static(f)
+                        row = comp._sub_row_iota(BLOCK)
+                        excl = jnp.where(row >= 1, jnp.concatenate(
+                            [jnp.ones((1, NPIX), jnp.float32), cum[:-1]], 0),
+                            1.0)
+                        alive = (cum >= comp.T_EPS).astype(jnp.float32)
+                        w = alpha * excl * alive
+                    if variant == "pairs_noaccs":
+                        state_ref[0:1, :] += jnp.max(w, axis=0, keepdims=True)
+                        out_ref[g * NSUB] = state_ref[:]
+                        return
                     acc = jnp.stack([
                         jnp.sum(feat[:, comp.F_R + i:comp.F_R + i + 1] * w,
                                 axis=0) for i in range(5)], axis=0)
@@ -210,7 +225,8 @@ def main():
     if which in ("fwd", "all"):
         print("=== forward ablations (real fwd: ~14.6) ===", flush=True)
         for v in ("full", "dump_last", "no_dump", "no_states",
-                  "pairs_only", "small_out"):
+                  "pairs_only", "pairs_noaccs", "pairs_noscan",
+                  "pairs_alpha", "small_out"):
             timeit(f"fwd/{v}", make_fwd(v),
                    binned.sub_tile, binned.sub_valid, payload)
 
