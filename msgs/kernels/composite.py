@@ -485,7 +485,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
     if bwd_bf16:
         cstT_refs = rest[SPG:2 * SPG]              # SPG × (1, NPIX, 8)
         dpay_ref, state_ref = rest[2 * SPG], rest[2 * SPG + 1]
-        mom_ref = rest[2 * SPG + 2]                # (3·SPB, NPIX) bf16
+        mom_ref = rest[2 * SPG + 2]                # (4·SPB, NPIX) bf16
     else:
         dpay_ref, state_ref = rest[SPG], rest[SPG + 1]
     s = pl.program_id(0)
@@ -493,6 +493,25 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
     row_in_sub = [
         jax.lax.broadcasted_iota(jnp.int32, (BLOCK, 1), 0) // SUB == k
         for k in range(NSUB)]
+
+    if bwd_bf16:
+        # Phase 0 — step-batched φ: one (SPB, SPG·nf)·(SPG·nf, NPIX) bf16
+        # dot serves every block (φ is state-free). Row r's features sit in
+        # column group r//SUB of the block-diagonal lhs, matching the
+        # sub-major rhs row order; dead blocks' sentinel payload rows give
+        # zero φ, which the live/dead predicates ignore anyway.
+        feats_all = payload_ref[:].reshape(SPB, NFEAT)
+        rhs_all = jnp.concatenate(
+            [cst_refs[j][0][C_GR:C_GR + nf_phi, :] for j in range(SPG)],
+            axis=0)                                # (SPG·nf, NPIX)
+        r_grp = jax.lax.broadcasted_iota(jnp.int32, (SPB, SPG * nf_phi),
+                                         0) // SUB
+        c_grp = jax.lax.broadcasted_iota(jnp.int32, (SPB, SPG * nf_phi),
+                                         1) // nf_phi
+        lhs_all = jnp.where(
+            r_grp == c_grp,
+            jnp.tile(feats_all[:, F_R:F_R + nf_phi], (1, SPG)), 0.0)
+        phi_all = _bf16_dot(lhs_all, rhs_all)      # (SPB, NPIX) f32
 
     for g in range(GROUP):
         b = s * GROUP + g
@@ -524,7 +543,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             dpay_ref[g] = jnp.zeros((BLOCK, NFEAT), jnp.float32)
             if bwd_bf16:
                 z = jnp.zeros((BLOCK, NPIX), jnp.bfloat16)
-                for q in range(3):
+                for q in range(4):
                     mom_ref[q * SPB + g * BLOCK:q * SPB + (g + 1) * BLOCK] = z
 
         @pl.when(live)
@@ -539,31 +558,13 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             w = ctx.w                              # (BLOCK, NPIX)
 
             if bwd_bf16:
-                # φ and per-entry feature grads as two block-wide bf16 MXU
-                # contractions over a block-diagonal (sub-major) layout:
-                # lhs row i of sub k carries its features at columns
-                # k·nf..k·nf+nf, so one (BLOCK, NSUB·nf)·(NSUB·nf, NPIX)
-                # dot yields φ for every sub at once (the per-sub rhs rows
-                # come straight from the existing cst blocks), and
-                # w·(NPIX, NSUB·nf) from the transposed table yields every
-                # sub's feature-grad lane reductions in one dot.
-                cstTs = [cstT_refs[g * NSUB + k][0] for k in range(NSUB)]
-                lhs = jnp.concatenate(
-                    [jnp.where(row_in_sub[k],
-                               feat[:, F_R:F_R + nf_phi], 0.0)
-                     for k in range(NSUB)], axis=1)      # (BLOCK, NSUB·nf)
-                rhs = jnp.concatenate(
-                    [csts[k][C_GR:C_GR + nf_phi, :]
-                     for k in range(NSUB)], axis=0)      # (NSUB·nf, NPIX)
-                phi = _bf16_dot(lhs, rhs)
-                rhs_t = jnp.concatenate(
-                    [cstTs[k][:, C_GR:C_GR + nf_phi]
-                     for k in range(NSUB)], axis=1)      # (NPIX, NSUB·nf)
-                df_full = _bf16_dot(w, rhs_t)            # (BLOCK, NSUB·nf)
-                dfeat = sum(
-                    jnp.where(row_in_sub[k],
-                              df_full[:, k * nf_phi:(k + 1) * nf_phi], 0.0)
-                    for k in range(NSUB))                # (BLOCK, nf)
+                # φ from the phase-0 batched dot; w staged (bf16) for the
+                # phase-2 batched dfeat contraction — both replace
+                # per-block dots that measured dispatch-bound.
+                phi = phi_all[g * BLOCK:(g + 1) * BLOCK]
+                mom_ref[3 * SPB + g * BLOCK:3 * SPB + (g + 1) * BLOCK] = \
+                    w.astype(jnp.bfloat16)
+                dfeat = None
             else:
                 # φ and per-entry feature grads on the VPU: per-sub MXU
                 # matmuls here are (32×nf)·(nf×256) — far too small to
@@ -671,8 +672,9 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
                 dpay_ref[g, :, F_CXY] = d_cxy[:, 0]
                 dpay_ref[g, :, F_CYY] = d_cyy[:, 0]
                 dpay_ref[g, :, F_OP] = d_op[:, 0]
-            for i in range(nf_phi):
-                dpay_ref[g, :, F_R + i] = dfeat[:, i]
+            if not bwd_bf16:
+                for i in range(nf_phi):
+                    dpay_ref[g, :, F_R + i] = dfeat[:, i]
 
             # Advance the per-tile scratch exactly as the forward pass
             # does, but branch-free and only to the block's final state
@@ -697,9 +699,15 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             state_ref[2:3, :] = prefix[BLOCK - 1:BLOCK, :]
 
     if bwd_bf16:
-        # Phase 2: ONE batched MXU dot for the whole step's moments
-        # (3·SPB rows = GROUP blocks × {dp, dp·dx, dp·dy}).
-        dcoef = _bf16_dot(mom_ref[:], _moment_basis())   # (3·SPB, 8)
+        # Phase 2: two batched MXU dots for the whole step — the moment
+        # contraction (3·SPB rows = GROUP blocks × {dp, dp·dx, dp·dy}) and
+        # the dfeat contraction of the staged w rows against the sub-major
+        # transposed cotangent columns.
+        dcoef = _bf16_dot(mom_ref[0:3 * SPB], _moment_basis())  # (3·SPB, 8)
+        cstT_all = jnp.concatenate(
+            [cstT_refs[j][0][:, C_GR:C_GR + nf_phi] for j in range(SPG)],
+            axis=1)                                    # (NPIX, SPG·nf)
+        df_all = _bf16_dot(mom_ref[3 * SPB:4 * SPB], cstT_all)  # (SPB, SPG·nf)
         # Phase 3: per-block chain rules + geometry column stores.
         # Unpredicated: dead/skipped blocks staged zero moments, so their
         # chains produce zeros — consistent with the dead-block dpay
@@ -735,6 +743,16 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             # whose moments are zero).
             dpay_ref[g, :, F_OP] = jnp.where(
                 op > 0.0, q00 / jnp.maximum(op, 1e-30), 0.0)[:, 0]
+            # dfeat extraction from the batched contraction: row r of block
+            # g, sub k reads column group g·NSUB+k.
+            dfg = df_all[g * BLOCK:(g + 1) * BLOCK]
+            dfeat = sum(
+                jnp.where(row_in_sub[k],
+                          dfg[:, (g * NSUB + k) * nf_phi:
+                              (g * NSUB + k + 1) * nf_phi], 0.0)
+                for k in range(NSUB))                  # (BLOCK, nf)
+            for i in range(nf_phi):
+                dpay_ref[g, :, F_R + i] = dfeat[:, i]
 
 
 def _interpret() -> bool:
@@ -827,7 +845,7 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[pltpu.VMEM((4, NPIX), jnp.float32)] + (
-            [pltpu.VMEM((3 * SPB, NPIX), jnp.bfloat16)] if bwd_bf16 else []),
+            [pltpu.VMEM((4 * SPB, NPIX), jnp.bfloat16)] if bwd_bf16 else []),
     )
     (dpay,) = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, width=width,
