@@ -81,6 +81,11 @@ NOUT = 8               # output channels: r g b depth acc T done pad
 # whose tiles carry hundreds-deep depth-sorted lists).
 GROUP = 8              # payload blocks / grid step
 _SKIP_SATURATED = True
+# Under bwd_bf16, compute the per-block wφ prefix with the block-diagonal
+# triangular bf16 dot (True) or the 5-step VPU Hillis-Steele scan (False).
+# The dot is the last remaining per-block MXU dispatch in the backward —
+# kept A/B-able while the dispatch-cost question is live (PERF_NOTES r4).
+_BF16_TRI_DOT = True
 NSUB = BLOCK // SUB    # tile-aligned sub-blocks per payload block
 SPG = GROUP * NSUB     # sub-blocks per grid step
 SPB = GROUP * BLOCK    # entries per grid step (bwd moment staging rows)
@@ -595,7 +600,7 @@ def _bwd_kernel(st_ref, sv_ref, payload_ref, *rest,
             # (exact 0/1 triangle; only the wφ operand rounds) instead of
             # the 5-step Hillis-Steele chain.
             p_rows = jnp.where(ctx.carried, state_ref[2:3, :], 0.0)
-            if bwd_bf16:
+            if bwd_bf16 and _BF16_TRI_DOT:
                 loc = _bf16_dot(_tri_subdiag(), w * phi)
             else:
                 loc = _sub_cumsum_static(w * phi)
