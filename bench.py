@@ -85,9 +85,10 @@ def main():
     cam = make_camera(np.eye(3), np.zeros(3), 1.2, 0.8, W, H)
     # MSGS_BENCH_* env vars A/B kernel settings from the harness (the
     # kernels themselves read no env vars; this only picks the setting).
-    # Production-fast gradient modes default ON: both are tolerance-tested
-    # against the exact-f32 path (tests/test_rasterize.py) and selectable
-    # at train time via --fast_grads.
+    # grad_pack_bf16 defaults ON (tolerance-tested, −1.9 ms, selectable at
+    # train time via --fast_grads). bwd_bf16 defaults OFF: it measures
+    # SLOWER than the exact path at these shapes (72.2 vs 60.1 ms, r5) —
+    # kept as an A/B knob only.
     rt_env = os.environ.get("MSGS_BENCH_ROW_TIGHT")
     settings = RasterSettings(backend="pallas", entry_cap=ENTRY_CAP,
                               image_grads_only=True,
@@ -96,7 +97,12 @@ def main():
                               grad_pack_bf16=os.environ.get(
                                   "MSGS_BENCH_GRAD_PACK", "1") != "0",
                               bwd_bf16=os.environ.get(
-                                  "MSGS_BENCH_BWD_BF16", "1") != "0")
+                                  "MSGS_BENCH_BWD_BF16", "0") == "1")
+    # Self-describing header: recorded numbers must say which gradient
+    # path they measured (ADVICE r4).
+    print(f"bench: grad_pack_bf16={settings.grad_pack_bf16} "
+          f"bwd_bf16={settings.bwd_bf16} row_tight={settings.row_tight} "
+          f"entry_cap={ENTRY_CAP}", flush=True)
 
     args = (jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
             jnp.asarray(opac), jnp.asarray(cols))

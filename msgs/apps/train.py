@@ -66,11 +66,17 @@ def build_parser():
                    help="Gaussian capacity; 0 = auto (grows on demand)")
     p.add_argument("--entry_cap", type=int, default=1 << 20)
     p.add_argument("--fast_grads", action="store_true",
-                   help="enable the bf16 fast gradient modes "
-                        "(grad_pack_bf16 + bwd_bf16): ~2^-8-relative "
-                        "gradient noise, tolerance-tested vs exact f32 "
-                        "(tests/test_rasterize.py); the quality-suite runs "
-                        "keep the exact path for cross-round comparability")
+                   help="enable the bf16-packed gather-VJP sort "
+                        "(grad_pack_bf16): ~2^-8-relative gradient noise, "
+                        "tolerance-tested vs exact f32 "
+                        "(tests/test_rasterize.py) and −1.9 ms at the 1080p "
+                        "bench; the quality-suite control runs keep the "
+                        "exact path for cross-round comparability")
+    p.add_argument("--bwd_bf16", action="store_true",
+                   help="run the backward compositor's moment/φ math as "
+                        "bf16 MXU contractions; measured SLOWER than the "
+                        "exact path at 1080p bench shapes (72.2 vs 60.1 ms, "
+                        "r5) — opt-in A/B only")
     p.add_argument("--backend", type=str, default="pallas")
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -204,7 +210,7 @@ def training(args):
                               backend=args.backend,
                               image_grads_only=True,
                               grad_pack_bf16=args.fast_grads,
-                              bwd_bf16=args.fast_grads)
+                              bwd_bf16=args.bwd_bf16)
 
     st = create_from_points(cfg, scene.points, scene.colors)
     state = L.init_train_state(st)

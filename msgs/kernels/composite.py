@@ -852,12 +852,21 @@ def _composite_bwd_call(payload, sub_tile, sub_valid, res, cot,
         scratch_shapes=[pltpu.VMEM((4, NPIX), jnp.float32)] + (
             [pltpu.VMEM((4 * SPB, NPIX), jnp.bfloat16)] if bwd_bf16 else []),
     )
+    # Under bwd_bf16 the step-wide staging scratch ((4·SPB, NPIX) bf16 =
+    # 2 MB) plus the phase-0 φ batch and phase-2 dot operands exceed
+    # Mosaic's default 16 MB scoped-VMEM window at driver shapes (measured
+    # 16.83 MB → hard compile OOM, VERDICT r4 #1). v5e/v5p carry 128 MB of
+    # physical VMEM; raising this kernel's scoped window to 24 MB leaves
+    # >100 MB for the pipeline's double-buffered block windows.
+    params = (pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024)
+              if bwd_bf16 else None)
     (dpay,) = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x, width=width,
                           height=height, image_only=image_only,
                           bwd_bf16=bwd_bf16),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(payload.shape, jnp.float32)],
+        compiler_params=params,
         interpret=_interpret(),
     )(sub_tile, sub_valid, payload, *([cst_t] * SPG), *extra_in)
     return dpay

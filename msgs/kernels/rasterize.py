@@ -56,7 +56,10 @@ class RasterSettings(NamedTuple):
     # MXU contractions (mean-centred form bounds the rounding amplification;
     # forward image values stay exact f32). ~2^-8-relative noise on
     # parameter gradients — training-benign, outside the strict parity
-    # budget. Off by default; enabled by the trainer and the bench.
+    # budget. Measured SLOWER than the exact VPU path at 1080p bench shapes
+    # (72.2 vs 60.1 ms, r5 — the step-batched MXU dots don't beat the lane
+    # reductions they replace, PERF_NOTES): opt-in A/B only, via --bwd_bf16
+    # or MSGS_BENCH_BWD_BF16=1.
     bwd_bf16: bool = False
     # filter_small semantics probe (BASELINE.md "filter_small semantics"):
     # when True, the sub-pixel fade keys on the CURRENT footprint alone,

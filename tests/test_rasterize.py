@@ -154,6 +154,28 @@ def test_grads_cross_backend(camera, scene):
         assert np.abs(a).max() > 0, f"zero gradient for {name}"
 
 
+def _assert_bf16_grad_close(p, e, name):
+    """bf16-mode gradient tolerance: absolute bound at 2e-2·max PLUS a
+    relative bound on significant entries — atol-only permits unbounded
+    relative error on small-magnitude entries and could mask a localized
+    bug in the fast path (ADVICE r4). Measured error profile of the bf16
+    paths on this scene (r5): entries ≥ 1e-2·max agree to q99 ≤ 6.8%
+    relative across every param; below that floor, cancellation in the
+    mean-centred moment sums amplifies the ~2^-8-per-contribution rounding
+    to 15-28% on the geometry grads — the documented numeric character of
+    the opt-in fast modes, bounded absolutely by the atol above."""
+    scale = max(np.abs(e).max(), 1e-8)
+    np.testing.assert_allclose(p, e, atol=2e-2 * scale,
+                               err_msg=f"bf16 grad mismatch: {name}")
+    sig = np.abs(e) > 1e-2 * scale
+    if sig.any():
+        rel = np.abs(p[sig] - e[sig]) / np.abs(e[sig])
+        q99 = float(np.quantile(rel, 0.99))
+        assert q99 < 0.10, (
+            f"bf16 grad relative error too large for {name}: "
+            f"q99={q99:.3f} over {int(sig.sum())} significant entries")
+
+
 def test_bwd_bf16_close(camera, scene):
     """bwd_bf16 (MXU bf16 moment/prefix contractions in the backward
     kernel) must reproduce the exact-f32 gradients to bf16-contribution
@@ -185,9 +207,7 @@ def test_bwd_bf16_close(camera, scene):
     names = ["means", "scales", "quats", "opac", "shs", "probe"]
     for name, e, p in zip(names, exact, fast):
         e, p = np.asarray(e), np.asarray(p)
-        scale = max(np.abs(e).max(), 1e-8)
-        np.testing.assert_allclose(p, e, atol=2e-2 * scale,
-                                   err_msg=f"bwd_bf16 grad mismatch: {name}")
+        _assert_bf16_grad_close(p, e, name)
         assert np.abs(p).max() > 0
 
 
@@ -214,9 +234,9 @@ def test_grad_pack_bf16_close(camera, scene):
 
     exact = grads(False)
     packed = grads(True)
-    for e, p in zip(exact, packed):
+    for name, e, p in zip(["means", "scales", "quats", "opac", "shs"],
+                          exact, packed):
         e, p = np.asarray(e), np.asarray(p)
-        scale = max(np.abs(e).max(), 1e-8)
-        np.testing.assert_allclose(p, e, atol=2e-2 * scale)
+        _assert_bf16_grad_close(p, e, name)
         # And it must not be trivially zero / exact (the pack is active).
         assert np.abs(p).max() > 0
