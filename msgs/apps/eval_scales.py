@@ -35,6 +35,12 @@ def main():
     p.add_argument("--anti_alias", action="store_true",
                    help="filter_small+filter_large, viewer.py:59-64")
     p.add_argument("--fade_size", type=float, default=0.0)
+    p.add_argument("--checkpoint", default=None,
+                   help="evaluate a chkpntN.npz train state instead of a "
+                        "PLY snapshot — lets runs that only saved PLYs at "
+                        "their final iteration be evaluated at any "
+                        "checkpointed iteration (VERDICT r4 #3: localizing "
+                        "the ms28k x1 trajectory needs eval at 21k/24k)")
     args = p.parse_args()
 
     import jax.numpy as jnp
@@ -54,20 +60,38 @@ def main():
     source = args.source_path or saved.get("source_path", "")
     white_bg = bool(saved.get("white_background", False))
 
-    it = find_iteration(args.model_path, args.iteration)
-    ply = os.path.join(args.model_path, "point_cloud",
-                       f"iteration_{it}", "point_cloud.ply")
-    print(f"Loading {ply}")
-    n = len(read_ply(ply)["x"])
-    cap = 1 << max(int(n).bit_length(), 10)
-    cfg = GaussianConfig(sh_degree=int(saved.get("sh_degree", 3)),
-                         reso_lvls=8, capacity=cap)
-    state = L.init_train_state(load_ply_snapshot(ply, cfg))
-
     scene = load_scene(source, images_dir=saved.get("images", "images"),
                        eval_split=bool(saved.get("eval", False)),
                        resolution=int(saved.get("resolution", -1)),
                        white_background=white_bg)
+
+    if args.checkpoint:
+        # Rebuild the trainer's state template from the persisted cfg (the
+        # same path apps/train.py resumes through), then load the npz.
+        from msgs.model.gaussians import create_from_points
+        from msgs.train.checkpoint import load_train_state
+        it = int("".join(c for c in os.path.basename(args.checkpoint)
+                         if c.isdigit()) or 0)
+        cfg = GaussianConfig(
+            sh_degree=int(saved.get("sh_degree", 3)),
+            reso_lvls=int(saved.get("ms_train_max_scale", 7)) + 1,
+            multi_occ=bool(saved.get("multi_occ", False)),
+            multi_dc=bool(saved.get("multi_dc", False)),
+            capacity=int(saved.get("capacity", 1 << 17)))
+        print(f"Loading {args.checkpoint}")
+        template = L.init_train_state(
+            create_from_points(cfg, scene.points, scene.colors))
+        state = load_train_state(args.checkpoint, template)
+    else:
+        it = find_iteration(args.model_path, args.iteration)
+        ply = os.path.join(args.model_path, "point_cloud",
+                           f"iteration_{it}", "point_cloud.ply")
+        print(f"Loading {ply}")
+        n = len(read_ply(ply)["x"])
+        cap = 1 << max(int(n).bit_length(), 10)
+        cfg = GaussianConfig(sh_degree=int(saved.get("sh_degree", 3)),
+                             reso_lvls=8, capacity=cap)
+        state = L.init_train_state(load_ply_snapshot(ply, cfg))
     settings = RasterSettings(
         backend=args.backend, entry_cap=args.entry_cap,
         filter_small=args.anti_alias, filter_large=args.anti_alias)
