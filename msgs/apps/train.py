@@ -55,6 +55,12 @@ def build_parser():
     p.add_argument("--ms_from_iter", type=int, default=1,
                    help="iteration from which MS sampling and occ/dc LRs "
                         "activate (reference train.py:62,153,197-198)")
+    p.add_argument("--ms_fine_tail_from", type=int, default=0,
+                   help="past this iteration sample only the finest level "
+                        "(0 = never): recovers x1 fidelity after the "
+                        "densify window without touching the coarse "
+                        "aggregates (measured motivation: BASELINE.md r5 "
+                        "ms28k trajectory)")
     p.add_argument("--test_iterations", nargs="+", type=int,
                    default=[7000, 30000])
     p.add_argument("--test_interval", type=int, default=5000)
@@ -186,6 +192,7 @@ def training(args):
                        ms_train=args.ms_train,
                        insert_large=args.insert_large,
                        ms_from_iter=args.ms_from_iter,
+                       fine_tail_from=args.ms_fine_tail_from,
                        rng=random.Random(args.seed))
     filter_large = args.grow_large or args.insert_large
 

@@ -36,6 +36,14 @@ class MsSchedule:
     # Iteration at which multi-scale sampling (and the occ/dc LRs) kick in
     # (reference train.py:62,153,197 — default 1 = from the start).
     ms_from_iter: int = 1
+    # Fine-tail: past this iteration, sample ONLY the finest level (0 =
+    # never). Framework extension beyond the reference schedule, motivated
+    # by the measured ms28k trajectory (BASELINE.md r5): past the
+    # densification window, continued 0.1-weighted coarse iterations
+    # monotonically trade x1 PSNR for coarse-scale gains; a fine-only tail
+    # recovers x1 while filter_large keeps the coarse aggregates untouched
+    # by fine renders.
+    fine_tail_from: int = 0
     rng: random.Random = field(default_factory=lambda: random.Random(0))
 
     def __post_init__(self):
@@ -87,6 +95,8 @@ class MsSchedule:
         when insert_large; all levels when plain ms_train (train.py:151-194).
         Called when the viewpoint stack refills (once per level-epoch)."""
         if not self.ms_train or iteration < self.ms_from_iter:
+            return 0
+        if self.fine_tail_from and iteration >= self.fine_tail_from:
             return 0
         if self.rng.random() < 0.75:
             return 0

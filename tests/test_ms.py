@@ -44,6 +44,18 @@ def test_schedule_sampling_proportion():
     assert 0.72 < frac0 < 0.85   # 75% + uniform includes 0
 
 
+def test_schedule_fine_tail():
+    """--ms_fine_tail_from: past the tail boundary only level 0 samples;
+    before it, the normal 75/25 mix is untouched (same RNG stream)."""
+    import random
+    s = MsSchedule(max_reso_pow=3, ms_train=True, insert_large=False,
+                   fine_tail_from=9000, rng=random.Random(0))
+    pre = [s.sample_level(5000) for _ in range(500)]
+    assert any(l != 0 for l in pre)
+    post = [s.sample_level(9000 + i) for i in range(500)]
+    assert all(l == 0 for l in post)
+
+
 def _setup(filter_small=False, filter_large=False):
     rng = np.random.default_rng(0)
     n = 64
