@@ -61,7 +61,7 @@ def test_static_per_sub_scans():
 
     # With distinct per-sub run labels the legacy run-masked scans segment
     # at exactly the SUB boundaries — the static scans must agree.
-    tc = _runs_to_tidcol([1, 2, 3, 4])
+    tc = _runs_to_tidcol(list(range(1, BLOCK // SUB + 1)))
     np.testing.assert_allclose(got_mul, np.asarray(_legacy_scan(x, tc, "mul")),
                                rtol=2e-6)
     np.testing.assert_allclose(got_add, np.asarray(_legacy_scan(x, tc, "add")),
