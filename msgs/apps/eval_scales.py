@@ -19,7 +19,7 @@ import os
 import time
 
 
-def main():
+def main(argv=None):
     p = argparse.ArgumentParser("msgs eval_scales")
     p.add_argument("-m", "--model_path", required=True)
     p.add_argument("-s", "--source_path", default=None)
@@ -41,7 +41,7 @@ def main():
                         "their final iteration be evaluated at any "
                         "checkpointed iteration (VERDICT r4 #3: localizing "
                         "the ms28k x1 trajectory needs eval at 21k/24k)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax.numpy as jnp
     import numpy as np
@@ -79,9 +79,13 @@ def main():
             multi_dc=bool(saved.get("multi_dc", False)),
             capacity=int(saved.get("capacity", 1 << 17)))
         print(f"Loading {args.checkpoint}")
+        # Only the pytree STRUCTURE matters for the template (leaf shapes
+        # come from the npz itself — and the checkpoint's capacity may have
+        # grown past the cfg value anyway), so seed it with one point.
         template = L.init_train_state(
-            create_from_points(cfg, scene.points, scene.colors))
+            create_from_points(cfg, scene.points[:1], scene.colors[:1]))
         state = load_train_state(args.checkpoint, template)
+        cfg = cfg._replace(capacity=int(state.gaussians.xyz.shape[0]))
     else:
         it = find_iteration(args.model_path, args.iteration)
         ply = os.path.join(args.model_path, "point_cloud",

@@ -115,6 +115,28 @@ def test_render_and_metrics_cli(synthetic_scene, tmp_path):
     assert np.isfinite(results["ours_10"]["PSNR"])
 
 
+def test_eval_scales_checkpoint_mode(synthetic_scene, tmp_path):
+    """eval_scales --checkpoint evaluates a chkpntN.npz train state (the
+    round-5 path that localized the ms28k regression) and writes the same
+    report schema as the PLY path."""
+    from msgs.apps import eval_scales as es_app
+    from msgs.apps import train as train_app
+    out = str(tmp_path / "model_ck")
+    train_app.main([
+        "-s", synthetic_scene, "-m", out,
+        "--iterations", "10", "--capacity", "256", "--entry_cap", "4096",
+        "--backend", "reference", "--test_interval", "0",
+        "--test_iterations", "-1", "--save_iterations", "-1",
+        "--checkpoint_iterations", "10", "--sh_degree", "0", "--quiet"])
+    ck = os.path.join(out, "chkpnt10.npz")
+    assert os.path.exists(ck)
+    es_app.main(["-m", out, "--checkpoint", ck, "--scales", "1", "2",
+                 "--backend", "reference", "--entry_cap", "4096",
+                 "--skip_test", "--n_train_views", "1"])
+    rep = json.load(open(os.path.join(out, "eval_scales_10.json")))
+    assert "train_s1" in rep and np.isfinite(rep["train_s1"]["psnr"])
+
+
 def test_get_combined_args_explicit_default_wins(tmp_path):
     """An explicitly-passed flag must beat the saved config even when its
     value equals the parser default (the reference's value-comparison merge
