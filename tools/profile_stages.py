@@ -52,7 +52,9 @@ def main():
     # Match bench.py's production config (image-only grads + bf16 fast
     # modes); MSGS_BENCH_* env vars A/B them from the harness.
     img_only = os.environ.get("MSGS_BENCH_IMAGE_ONLY", "1") != "0"
-    bwd_bf16 = os.environ.get("MSGS_BENCH_BWD_BF16", "1") != "0"
+    # Defaults track bench.py (r5): grad_pack ON, bwd_bf16 OFF (it measures
+    # slower than the exact path at these shapes — PERF_NOTES r5).
+    bwd_bf16 = os.environ.get("MSGS_BENCH_BWD_BF16", "0") == "1"
     grad_pack = os.environ.get("MSGS_BENCH_GRAD_PACK", "1") != "0"
     settings = rz.RasterSettings(backend="pallas", entry_cap=ENTRY_CAP,
                                  image_grads_only=img_only,
