@@ -34,6 +34,11 @@ def main(argv=None):
     p.add_argument("--entry_cap", type=int, default=1 << 20)
     p.add_argument("--anti_alias", action="store_true",
                    help="filter_small+filter_large, viewer.py:59-64")
+    p.add_argument("--fade_ungated", action="store_true",
+                   help="with --anti_alias: filter_small keys on the "
+                        "current footprint alone (the alternative fade "
+                        "reading) — separates eval-time from train-time "
+                        "filter effects (BASELINE.md r5)")
     p.add_argument("--fade_size", type=float, default=0.0)
     p.add_argument("--checkpoint", default=None,
                    help="evaluate a chkpntN.npz train state instead of a "
@@ -98,7 +103,8 @@ def main(argv=None):
         state = L.init_train_state(load_ply_snapshot(ply, cfg))
     settings = RasterSettings(
         backend=args.backend, entry_cap=args.entry_cap,
-        filter_small=args.anti_alias, filter_large=args.anti_alias)
+        filter_small=args.anti_alias, filter_large=args.anti_alias,
+        fade_ungated=args.fade_ungated)
     bg = jnp.ones((3,)) if white_bg else jnp.zeros((3,))
 
     try:
@@ -148,7 +154,8 @@ def main(argv=None):
                   f"l1 {entry['l1']:.4f} {entry['render_ms']:.1f}ms",
                   flush=True)
 
-    out_path = os.path.join(args.model_path, f"eval_scales_{it}.json")
+    tag = "_ungated" if args.fade_ungated else ""
+    out_path = os.path.join(args.model_path, f"eval_scales_{it}{tag}.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(f"wrote {out_path}")
