@@ -34,6 +34,14 @@ METHOD_DICT = {
                       "--multi_occ", "--multi_dc",
                       "--iterations", "40000",
                       "--save_iterations", "40000"],
+    # Beyond the reference matrix: the round-5 measured-best combination
+    # (BASELINE.md — fade_ungated's train-time coarse supervision hygiene
+    # + multi-app per-level appearance capacity).
+    "ms_best": ["--ms_train", "--filter_small", "--insert_large",
+                "--fade_ungated", "--multi_occ", "--multi_dc",
+                "--iterations", "40000",
+                "--test_iterations", "7000", "30000", "40000",
+                "--save_iterations", "40000"],
 }
 
 # Per-dataset max scale (train_all.py:221-231).
