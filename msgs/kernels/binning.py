@@ -123,7 +123,8 @@ def _delta_scan(fields, positions, entry_cap: int):
     layout (permuted sublane-major for the Pallas scan); downstream decode
     is elementwise, so callers just `.reshape(entry_cap)` at the end."""
     K = fields.shape[0]
-    deltas = jnp.diff(fields, axis=1, prepend=0.0)
+    dt = fields.dtype                             # f32 (2^24) or int32 (2^31)
+    deltas = jnp.diff(fields, axis=1, prepend=jnp.zeros((K, 1), dt))
     s_idx, l_raw = pscan.perm_positions(positions)
     l_idx = jnp.where(positions < entry_cap, l_raw,
                       entry_cap // pscan.SUBL)    # OOB → dropped
@@ -131,12 +132,77 @@ def _delta_scan(fields, positions, entry_cap: int):
     # leading batch dim ~1 ms slower than K independent 2-D scatters
     # (measured r3 at K=5, N=100k, E=1.6M).
     starts = jnp.stack([
-        jnp.zeros(pscan.perm_shape(entry_cap), jnp.float32)
+        jnp.zeros(pscan.perm_shape(entry_cap), dt)
            .at[s_idx, l_idx].add(deltas[i], mode="drop")
         for i in range(K)])
     cums = pscan.cumsum_perm(starts)              # (K, 8, E/8)
-    iota_f = pscan.perm_iota(entry_cap).astype(jnp.float32)
-    return cums, iota_f
+    iota = pscan.perm_iota(entry_cap)
+    return cums, iota.astype(dt)
+
+
+def _pack_planes(bit_widths):
+    """Static first-fit-decreasing packing of bit fields into ≤31-bit
+    int32 delta-scan planes, splitting fields across planes' spare
+    capacity when no whole slot fits (cross-plane chunks are fine: the
+    scan only needs cumsum-of-deltas == packed value, which holds for any
+    per-Gaussian int; linearity in the *fields* is not required).
+
+    Returns (n_planes, chunks): chunks[i] is a list of
+    (plane, shift_in_plane, field_lo_bit, nbits) for field i. Every plane
+    stays < 2^31 so the int32 Pallas scan (scan.py) is exact. Each plane
+    costs ~1 ms of scatter+scan at the 1080p bench (measured,
+    tools/exp_binning_stages.py) — this packing is why the banded path
+    runs 4 planes instead of the 8 the f32 (2^24-exact) layout needed."""
+    order = sorted(range(len(bit_widths)), key=lambda i: -bit_widths[i])
+    planes = []
+    chunks = [[] for _ in bit_widths]
+    for i in order:
+        b = bit_widths[i]
+        placed = False
+        for p, used in enumerate(planes):
+            if used + b <= 31:
+                chunks[i].append((p, used, 0, b))
+                planes[p] = used + b
+                placed = True
+                break
+        if placed:
+            continue
+        lo = 0
+        for p in range(len(planes)):
+            spare = 31 - planes[p]
+            if spare <= 0 or lo >= b:
+                continue
+            take = min(spare, b - lo)
+            chunks[i].append((p, planes[p], lo, take))
+            planes[p] += take
+            lo += take
+        while lo < b:
+            take = min(31, b - lo)
+            chunks[i].append((len(planes), 0, lo, take))
+            planes.append(take)
+            lo += take
+    return len(planes), chunks
+
+
+def _pack_fields(fields_i32, bit_widths, chunks, n_planes):
+    """(n_fields, N) int32 fields → (n_planes, N) packed planes."""
+    N = fields_i32[0].shape[0]
+    planes = [jnp.zeros((N,), jnp.int32) for _ in range(n_planes)]
+    for f, cks in zip(fields_i32, chunks):
+        for (p, shift, lo, nb) in cks:
+            part = (f >> lo) & jnp.int32((1 << nb) - 1)
+            planes[p] = planes[p] | (part << shift)
+    return jnp.stack(planes)
+
+
+def _unpack_field(cums, chunks_i):
+    """Reassemble field i from the scanned planes (elementwise int ops)."""
+    out = None
+    for (p, shift, lo, nb) in chunks_i:
+        part = (cums[p] >> shift) & jnp.int32((1 << nb) - 1)
+        v = part << lo
+        out = v if out is None else out | v
+    return out
 
 
 _HIST_CHUNK = 1 << 18   # rows per indicator-matmul chunk (bounds transients)
@@ -409,9 +475,6 @@ def _bin_gaussians_banded(pre: PreprocessOut, width: int, height: int,
     h1 = q1
     h2 = q2 - q1
     h3 = rect_h - q2
-    l1 = txlo1 - rminx_f
-    l2 = txlo2 - rminx_f
-    l3 = txlo3 - rminx_f
 
     counts = jnp.where(
         live0,
@@ -443,70 +506,76 @@ def _bin_gaussians_banded(pre: PreprocessOut, width: int, height: int,
     cover = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:tiles_y, :tiles_x]
     tcounts = cover.reshape(T)
 
-    # --- entry stream: 8 delta-scan planes, division-free band select +
-    # the rect path's exact-f32 row/col division within the band ---
-    xb = max(int(tiles_x).bit_length(), 1)
-    yb = max(int(tiles_y).bit_length(), 1)
+    # --- entry stream: bit-packed int32 delta-scan planes (4 at 1080p
+    # vs the 8 an f32 layout needs — each plane costs ~1 ms of
+    # scatter+scan, measured tools/exp_binning_stages.py), then
+    # division-free band select + exact-f32 row/col division within the
+    # band. The `end` plane of the old layout is gone entirely: kept
+    # segments form a prefix of the slot range (offsets are a cumsum of
+    # counts, so the first overflowing Gaussian drops every successor),
+    # hence validity is a single scalar compare against sum(kept). ---
     dqb = min(db, 23)
-    assert xb + yb <= 24
 
     dmin = jnp.min(jnp.where(pre.visible, pre.depths, jnp.inf))
     dmax = jnp.max(jnp.where(pre.visible, pre.depths, -jnp.inf))
     dspan = jnp.maximum(dmax - dmin, 1e-9)
     dq_g = jnp.floor(jnp.clip((pre.depths - dmin) / dspan * (2.0**dqb - 2.0),
                               0.0, 2.0**dqb - 2.0))
-    dq_g = jnp.where(live0, dq_g, 0.0)
-    f1, f256, f64k = 1.0, 256.0, 65536.0
-    fields = jnp.stack([
-        jax.lax.iota(jnp.float32, N) + 1.0,
-        offsets.astype(jnp.float32),
-        (offsets + kept).astype(jnp.float32),
-        (pre.rect_min[:, 1] * (1 << xb) + pre.rect_min[:, 0]
-         ).astype(jnp.float32),
+    dq_g = jnp.where(live0, dq_g, 0.0).astype(jnp.int32)
+
+    gb = max(int(N).bit_length(), 1)             # iota+1 ∈ [1, N]
+    ob = max(int(entry_cap - 1).bit_length(), 1)  # kept offsets < cap
+    hb = max(int(tiles_y).bit_length(), 1)       # h1, h2 ≤ rect_h ≤ tiles_y
+    wb = max(int(tiles_x).bit_length(), 1)       # band widths ≤ tiles_x
+    xb = max(int(tiles_x - 1).bit_length(), 1)   # absolute tile-x lows
+    yb = max(int(tiles_y - 1).bit_length(), 1)
+    widths = [gb, ob, yb, dqb, hb, hb, wb, wb, wb, xb, xb, xb]
+    n_planes, chunks = _pack_planes(widths)
+    fields = _pack_fields([
+        jax.lax.iota(jnp.int32, N) + 1,
+        offsets,
+        pre.rect_min[:, 1],
         dq_g,
-        h1.astype(jnp.float32) * f1 + h2.astype(jnp.float32) * f256,
-        w1 * f1 + w2 * f256 + w3 * f64k,
-        l1 * f1 + l2 * f256 + l3 * f64k,
-    ], axis=0)                                       # (8, N), all < 2^24
-    cums, iota_f = _delta_scan(fields, offsets, entry_cap)
-    gid = (cums[0] - 1.0).astype(jnp.int32)
-    off_f, end_f, rm_f, dq_e = cums[1], cums[2], cums[3], cums[4]
-    hh_f, ww_f, ll_f = cums[5], cums[6], cums[7]
-    valid = iota_f < end_f
+        h1, h2,
+        w1.astype(jnp.int32), w2.astype(jnp.int32), w3.astype(jnp.int32),
+        txlo1.astype(jnp.int32), txlo2.astype(jnp.int32),
+        txlo3.astype(jnp.int32),
+    ], widths, chunks, n_planes)                 # (n_planes, N) < 2^31
+    cums, iota_i = _delta_scan(fields, offsets, entry_cap)
+    gid = _unpack_field(cums, chunks[0]) - 1
+    off_i = _unpack_field(cums, chunks[1])
+    rminy_e = _unpack_field(cums, chunks[2]).astype(jnp.float32)
+    dq_e = _unpack_field(cums, chunks[3])
+    h1f = _unpack_field(cums, chunks[4]).astype(jnp.float32)
+    h2f = _unpack_field(cums, chunks[5]).astype(jnp.float32)
+    w1f = _unpack_field(cums, chunks[6]).astype(jnp.float32)
+    w2f = _unpack_field(cums, chunks[7]).astype(jnp.float32)
+    w3f = _unpack_field(cums, chunks[8]).astype(jnp.float32)
+    x1f = _unpack_field(cums, chunks[9]).astype(jnp.float32)
+    x2f = _unpack_field(cums, chunks[10]).astype(jnp.float32)
+    x3f = _unpack_field(cums, chunks[11]).astype(jnp.float32)
+    valid = iota_i < jnp.sum(kept)
 
-    rminy_e = jnp.floor(rm_f * (0.5**xb))
-    rminx_e = rm_f - rminy_e * (1 << xb)
-    h2f = jnp.floor(hh_f * (1.0 / f256))
-    h1f = hh_f - h2f * f256
-    w3f = jnp.floor(ww_f * (1.0 / f64k))
-    ww_r = ww_f - w3f * f64k
-    w2f = jnp.floor(ww_r * (1.0 / f256))
-    w1f = ww_r - w2f * f256
-    l3f = jnp.floor(ll_f * (1.0 / f64k))
-    ll_r = ll_f - l3f * f64k
-    l2f = jnp.floor(ll_r * (1.0 / f256))
-    l1f = ll_r - l2f * f256
-
-    slot = iota_f - off_f
+    slot = (iota_i - off_i).astype(jnp.float32)
     A1 = h1f * w1f
     A2 = h2f * w2f
     in2 = (slot >= A1).astype(jnp.float32)
     in3 = (slot >= A1 + A2).astype(jnp.float32)
     u = slot - in2 * A1 - in3 * A2
     wk = jnp.maximum(w1f + in2 * (w2f - w1f) + in3 * (w3f - w2f), 1.0)
-    lk = l1f + in2 * (l2f - l1f) + in3 * (l3f - l2f)
+    xk = x1f + in2 * (x2f - x1f) + in3 * (x3f - x2f)
     qb0 = in2 * h1f + in3 * h2f
     q = jnp.floor(u / wk)
     r = u - q * wk
     q = (q - (r < 0.0).astype(jnp.float32) + (r >= wk).astype(jnp.float32))
     r = u - q * wk
     ty = rminy_e + qb0 + q
-    tx = rminx_e + lk + r
+    tx = xk + r
     tile_e = (ty * tiles_x + tx).astype(jnp.int32)
 
     key_e = jnp.where(
         valid,
-        tile_e * (1 << db) + (dq_e.astype(jnp.int32) << (db - dqb)),
+        tile_e * (1 << db) + (dq_e << (db - dqb)),
         NULL_KEY).reshape(entry_cap)
     gid_e = jnp.where(valid, gid, N).reshape(entry_cap)
 

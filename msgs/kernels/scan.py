@@ -81,18 +81,57 @@ def _scan_kernel(x_ref, out_ref, carry_ref, *, rows: int, ktiles: int):
         carry_ref[r] = carry
 
 
+def _scan_kernel_i32(x_ref, out_ref, carry_ref, *, rows: int, ktiles: int):
+    """int32 variant: the f32 kernel's triangular MXU matmul (24-bit exact)
+    can't carry 31-bit packed planes, so the per-lane offsets come from a
+    log2(LANES)-step Hillis-Steele along the lanes instead — exact to 2^31
+    and still one HBM pass. Used by binning's bit-packed delta planes."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_ref[...] = jnp.zeros((rows, 1, 1), jnp.int32)
+
+    for r in range(rows):
+        carry = carry_ref[r]                           # (1, 1)
+        for t in range(ktiles):
+            x = x_ref[r, :, t * LANES:(t + 1) * LANES]     # (8, 128)
+            y = x
+            k = 1
+            while k < SUBL:                            # sublane incl. scan
+                pad = jnp.zeros((k, LANES), jnp.int32)
+                y = y + jnp.concatenate([pad, y[:-k]], axis=0)
+                k *= 2
+            tot = y[SUBL - 1:SUBL, :]                  # (1, 128) lane totals
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+            pre = tot
+            k = 1
+            while k < LANES:                           # lane incl. scan
+                # Mosaic rejects lane-dim concat-shifts (offset mismatch);
+                # rotate + mask is the supported idiom.
+                rolled = pltpu.roll(pre, k, 1)
+                pre = pre + jnp.where(lane >= k, rolled, 0)
+                k *= 2
+            y = y + jnp.broadcast_to(pre - tot, (SUBL, LANES)) + carry
+            out_ref[r, :, t * LANES:(t + 1) * LANES] = y
+            carry = carry + pre[:, LANES - 1:LANES]
+        carry_ref[r] = carry
+
+
 def cumsum_perm(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix sum of (R, 8, E/8) f32 in the permuted layout,
-    along the logical element order. One HBM pass."""
+    """Inclusive prefix sum of (R, 8, E/8) f32 or int32 in the permuted
+    layout, along the logical element order. One HBM pass. f32 is exact to
+    2^24 (the MXU triangle operand is 0/1); int32 exact to 2^31."""
     R, s, w = x.shape
     assert s == SUBL
+    assert x.dtype in (jnp.float32, jnp.int32), x.dtype
+    is_int = x.dtype == jnp.int32
     ktiles = KTILES
     while w % (ktiles * LANES) != 0:
         ktiles //= 2
     assert ktiles >= 1 and w % (ktiles * LANES) == 0
     grid = w // (ktiles * LANES)
     out = pl.pallas_call(
-        functools.partial(_scan_kernel, rows=R, ktiles=ktiles),
+        functools.partial(_scan_kernel_i32 if is_int else _scan_kernel,
+                          rows=R, ktiles=ktiles),
         grid=(grid,),
         in_specs=[pl.BlockSpec((R, SUBL, ktiles * LANES),
                                lambda g: (0, 0, g),
@@ -100,8 +139,8 @@ def cumsum_perm(x: jnp.ndarray) -> jnp.ndarray:
         out_specs=pl.BlockSpec((R, SUBL, ktiles * LANES),
                                lambda g: (0, 0, g),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, SUBL, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((R, 1, 1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((R, SUBL, w), x.dtype),
+        scratch_shapes=[pltpu.VMEM((R, 1, 1), x.dtype)],
         interpret=jax.default_backend() != "tpu",
     )(x)
     return out
